@@ -1,0 +1,97 @@
+"""Dataclass configuration layer feeding every entry point.
+
+The reference scatters hyperparameters across argparse (master.py:25-41),
+hard-coded main() bodies (superresDWI.py:84-90), and SLURM positional args
+(run.sh). Here one typed config object per pipeline feeds both the library API
+and the CLIs; CLIs expose the same flag names the reference used.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class Master2DConfig:
+    """master.py flags (lines 25-41), defaults preserved."""
+
+    out_folder: str = "experiments/"
+    out_img_folder: str = "output_images/"
+    total_steps: int = 3000
+    seg: int = 150
+    hidden_layers: int = 6
+    hidden_features: int = 64
+    roi_begin: int = 40
+    roi_end: int = 100
+    learning_rate: float = 3e-4
+    scale: int = 3
+    exp_name: str = "sr2"
+    repeat_time: int = 1
+    erd: int = 0  # 0=no ERD, 1=majority vote, 2=intensity-cognisant
+
+
+@dataclasses.dataclass
+class SupperresDWIConfig:
+    """superresDWI.py hard-coded hyperparameters (lines 84-118)."""
+
+    number_of_epochs: int = 2500
+    perturbation_epochs: int = 10
+    hidden_dim: int = 512
+    num_layers: int = 3
+    pn_dim: int = 128
+    roi_start: int = 40
+    roi_end: int = 90
+    mapping_size: int = 128
+    ff_scale: float = 0.5
+    inr_lr: float = 1e-4
+    pn_lr: float = 1e-6
+    pn_eps: float = 1.0 / 128.0
+    te_index: int = 1  # TE=70ms column used for rescaling outputs
+
+
+@dataclasses.dataclass
+class INRERDConfig:
+    """INR_ERD.py hard-coded hyperparameters (lines 162-273)."""
+
+    hidden_features: int = 128
+    hidden_layers: int = 3
+    pretrain_lr: float = 3e-4
+    loss_threshold: float = 2e-5
+    perturb_lr: float = 3e-4
+    net_lr: float = 1e-7
+    perturb_eps: float = 1.0 / 128.0
+    soft_erd_mul: float = 1000.0
+    soft_erd_slope: float = 20.0
+    seeds: int = 10
+
+
+@dataclasses.dataclass
+class RAMSConfig:
+    """RAMS network hyperparameters (multi-image-super-resolution/
+    master.py:20-27 and utils/network.py:91-155)."""
+
+    scale: int = 3
+    filters: int = 32
+    kernel_size: int = 3
+    channels: int = 9  # T temporal acquisitions
+    r: int = 8  # attention compression
+    N: int = 12  # number of RFABs
+    mean: float = 7433.6436  # PROBA-V normalisation (network.py:18-19)
+    std: float = 2353.0723
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """MISR Trainer knobs (utils/training.py:108-120)."""
+
+    batch_size: int = 32
+    buffer_size: int = 512
+    epochs: int = 100
+    evaluate_every: int = 100
+    val_steps: int = 100
+    hr_size: int = 96
+    learning_rate: float = 1e-4
+    checkpoint_dir: str = "ckpt"
+    log_dir: str = "logs"
+    max_to_keep: int = 3
+    save_best_only: bool = True
+    data_aug: bool = False

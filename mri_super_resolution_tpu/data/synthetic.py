@@ -1,0 +1,109 @@
+"""Synthetic DWI acquisition generation.
+
+The distributed anon_data contains only mean-b0 and ERD volumes; the 4-D
+``pat*_alldata.mat`` acquisition stacks the reference loader expects
+(implicit-neural-representations/nn_mri.py:46-54) are not shipped. To keep
+every pipeline runnable (and benchmarkable) end-to-end, this module simulates
+repeated diffusion-weighted acquisitions from a mean b0 volume with the same
+physical structure the real data has:
+
+- mono-exponential diffusion decay ``S = S0 * exp(-b * ADC / 1e6)`` with a
+  spatially varying ADC field,
+- per-acquisition rigid sub-voxel shifts (the motion PerturbNet models,
+  SRDWI.py:93-109),
+- Rician noise (magnitude MR images; the Rayleigh noise-floor correction at
+  INR_ERD.py:178-181 assumes exactly this),
+- occasional whole-acquisition dropouts/outliers (what ERD rejects).
+
+Also provides the toy fixtures standing in for ``toy.mat`` / ``toy2.mat``
+(inr_toy.py:65-70, automate_INR.py:20-21), which are likewise absent.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _smooth_field(rng: np.random.Generator, shape, scale: float, base: float, amp: float) -> np.ndarray:
+    """Low-frequency random field via Fourier-domain low-pass of white noise."""
+    noise = rng.normal(size=shape)
+    f = np.fft.fftn(noise)
+    freqs = np.meshgrid(*[np.fft.fftfreq(n) for n in shape], indexing="ij")
+    r2 = sum(fr**2 for fr in freqs)
+    f *= np.exp(-r2 / (2 * (scale / min(shape)) ** 2))
+    field = np.real(np.fft.ifftn(f))
+    field = (field - field.min()) / (field.max() - field.min() + 1e-12)
+    return base + amp * field
+
+
+def _subpixel_shift2d(img: np.ndarray, dx: float, dy: float) -> np.ndarray:
+    """Fourier-shift a 2-D image by a sub-pixel offset (periodic)."""
+    H, W = img.shape
+    fx = np.fft.fftfreq(H)[:, None]
+    fy = np.fft.fftfreq(W)[None, :]
+    phase = np.exp(-2j * np.pi * (fx * dx + fy * dy))
+    return np.real(np.fft.ifft2(np.fft.fft2(img) * phase))
+
+
+def acquisitions_from_b0(
+    b0: np.ndarray,
+    num_acq: int,
+    b: float = 900.0,
+    seed: int = 0,
+    noise_sigma_frac: float = 0.03,
+    shift_sigma: float = 0.6,
+    outlier_prob: float = 0.08,
+) -> np.ndarray:
+    """Simulate a ``(H, W, S, A)`` acquisition stack from a ``(H, W, S)`` b0.
+
+    Each acquisition sees diffusion decay with a shared smooth ADC field, a
+    random rigid in-plane sub-voxel shift, Rician noise at ``noise_sigma_frac``
+    of the volume's robust max, and with probability ``outlier_prob`` a strong
+    signal-dropout multiplier (the artifact class ERD is built to reject).
+    """
+    rng = np.random.default_rng(seed)
+    H, W, S = b0.shape
+    adc = _smooth_field(rng, (H, W, S), scale=3.0, base=0.7, amp=1.8)  # 1e-3 mm^2/s
+    signal = b0 * np.exp(-b * adc / 1e6 * 1000.0)  # b*ADC/1000 with ADC in 1e-3 units
+    sigma = noise_sigma_frac * np.percentile(b0, 99.5)
+
+    out = np.empty((H, W, S, num_acq), dtype=np.float32)
+    for a in range(num_acq):
+        dx, dy = rng.normal(0.0, shift_sigma, size=2)
+        moved = np.stack(
+            [_subpixel_shift2d(signal[:, :, s], dx, dy) for s in range(S)], axis=-1
+        )
+        if rng.uniform() < outlier_prob:
+            drop = _smooth_field(rng, (H, W, S), scale=2.0, base=0.2, amp=0.6)
+            moved = moved * drop
+        re = moved + rng.normal(0.0, sigma, size=moved.shape)
+        im = rng.normal(0.0, sigma, size=moved.shape)
+        out[..., a] = np.sqrt(re**2 + im**2).astype(np.float32)
+    return out
+
+
+def toy_image(side: int = 180, seed: int = 0) -> np.ndarray:
+    """A structured toy target (rings + gradient), stand-in for toy.mat."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:side, 0:side] / side
+    img = (
+        0.5
+        + 0.3 * np.sin(14 * np.pi * ((x - 0.5) ** 2 + (y - 0.45) ** 2))
+        + 0.2 * x
+    )
+    img += 0.02 * rng.normal(size=img.shape)
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def toy_perturbed_acquisitions(
+    side: int = 128, num_acq: int = 20, seed: int = 0, shift_sigma: float = 1.0
+) -> np.ndarray:
+    """``(side, side, A)`` shifted noisy copies of the toy image
+    (the ``pertubed_acq`` array of toy2.mat, automate_INR.py:20-21)."""
+    rng = np.random.default_rng(seed)
+    base = toy_image(side, seed)
+    out = np.empty((side, side, num_acq), dtype=np.float32)
+    for a in range(num_acq):
+        dx, dy = rng.normal(0.0, shift_sigma, size=2)
+        img = _subpixel_shift2d(base, dx, dy)
+        out[..., a] = img + 0.01 * rng.normal(size=img.shape)
+    return out

@@ -1,0 +1,363 @@
+"""INR fit engine: jitted, scanned training loops.
+
+This replaces the reference's hand-written Python epoch loops with single
+``jax.jit`` programs that ``lax.scan`` over steps — the whole 2500-3000-epoch
+fit is one XLA executable with no host round-trips, and the ensemble-tail
+prediction averaging lives in the scan carry instead of per-step GPU->CPU
+copies (reference: master.py:137-160; superresDWI.py:132-156;
+SURVEY.md section 7, step 4).
+
+Provided loops:
+- ``fit_simple``          — fixed-step MSE fit (superresDWI.py:132-145 phase 1).
+- ``fit_ensemble``        — master.py:137-160: per-acquisition weighted-MSE
+  steps with an ensemble tail accumulating dense-grid predictions over the
+  last ``seg`` steps at 1x and scale x grids.
+- ``fit_until``           — INR_ERD.py:201-217: train until loss < threshold
+  with restart-on-collapse, as a ``lax.while_loop`` whose carry holds the PRNG
+  key used for re-initialisation.
+- ``fit_alternating_pn``  — superresDWI.py:146-156: last-10-epoch alternation
+  of INR-on-mean steps (odd) and per-acquisition PerturbNet steps (even),
+  including the double-Fourier-mapping quirk (the PN output, computed from
+  already-encoded coords, is itself Fourier-encoded again before the INR;
+  replicated deliberately — see SURVEY.md "hard parts").
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mri_super_resolution_tpu.core.coords import fourier_encode
+from mri_super_resolution_tpu.fit.losses import mse, weighted_mse
+
+Array = jax.Array
+Params = Any
+
+
+class FitResult(NamedTuple):
+    params: Params
+    opt_state: Any
+    losses: Array  # per-step loss trace
+
+
+# --------------------------------------------------------------------------
+# simple fixed-step fit
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "tx", "num_steps"), donate_argnames=("params",))
+def fit_simple(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    params: Params,
+    coords: Array,
+    target: Array,
+    num_steps: int,
+) -> FitResult:
+    """``num_steps`` full-batch Adam MSE steps on (coords -> target)."""
+    opt_state = tx.init(params)
+
+    def step(carry, _):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            return mse(apply_fn(p, coords), target)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), None, length=num_steps)
+    return FitResult(params, opt_state, losses)
+
+
+# --------------------------------------------------------------------------
+# master.py ensemble fit
+# --------------------------------------------------------------------------
+
+
+class EnsembleResult(NamedTuple):
+    params: Params
+    losses: Array
+    pred_1x: Array  # ensemble-mean prediction on the base grid
+    pred_scale: Array  # ensemble-mean prediction on the scale-x grid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("apply_fn", "tx", "total_steps", "seg"),
+    donate_argnames=("params",),
+)
+def fit_ensemble(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    params: Params,
+    coords: Array,  # (P, d) shared grid
+    pixels: Array,  # (A, P, 1) per-acquisition targets
+    weights: Array,  # (A, P, 1) acceptance weights
+    eval_coords_1x: Array,  # (P, d)
+    eval_coords_scale: Array,  # (P*s^2, d)
+    total_steps: int,
+    seg: int,
+) -> EnsembleResult:
+    """The master.py:137-160 loop: each step does one Adam update per
+    acquisition (weighted MSE); the last ``seg`` steps also evaluate the INR
+    on the 1x and scale-x grids and accumulate the predictions (averaged on
+    return)."""
+    opt_state = tx.init(params)
+
+    def one_acq_update(carry, inputs):
+        params, opt_state = carry
+        target, w = inputs
+
+        def loss_fn(p):
+            return weighted_mse(apply_fn(p, coords), target, w)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    def train_one_step(params, opt_state):
+        (params, opt_state), losses = jax.lax.scan(
+            one_acq_update, (params, opt_state), (pixels, weights)
+        )
+        return params, opt_state, losses.mean()
+
+    def head_step(carry, _):
+        params, opt_state = carry
+        params, opt_state, loss = train_one_step(params, opt_state)
+        return (params, opt_state), loss
+
+    (params, opt_state), head_losses = jax.lax.scan(
+        head_step, (params, opt_state), None, length=total_steps - seg
+    )
+
+    def tail_step(carry, _):
+        params, opt_state, acc1, acc2 = carry
+        params, opt_state, loss = train_one_step(params, opt_state)
+        acc1 = acc1 + apply_fn(params, eval_coords_1x)
+        acc2 = acc2 + apply_fn(params, eval_coords_scale)
+        return (params, opt_state, acc1, acc2), loss
+
+    acc1 = jnp.zeros((eval_coords_1x.shape[0], 1))
+    acc2 = jnp.zeros((eval_coords_scale.shape[0], 1))
+    (params, opt_state, acc1, acc2), tail_losses = jax.lax.scan(
+        tail_step, (params, opt_state, acc1, acc2), None, length=seg
+    )
+    return EnsembleResult(
+        params,
+        jnp.concatenate([head_losses, tail_losses]),
+        acc1 / seg,
+        acc2 / seg,
+    )
+
+
+# --------------------------------------------------------------------------
+# INR_ERD threshold fit with restart-on-collapse
+# --------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("apply_fn", "tx", "init_fn", "loss_threshold", "max_steps"),
+)
+def fit_until(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    init_fn: Callable[[jax.Array], Params],
+    key: jax.Array,
+    coords: Array,
+    target: Array,
+    loss_threshold: float = 2e-5,
+    max_steps: int = 200_000,
+):
+    """Train until loss < threshold; re-initialise model+optimizer whenever the
+    output collapses to all-zero (INR_ERD.py:201-217), bounded by max_steps.
+
+    Returns (params, steps_taken, final_loss).
+    """
+    key, sub = jax.random.split(key)
+    params0 = init_fn(sub)
+
+    def cond(carry):
+        _, _, _, loss, it = carry
+        return jnp.logical_and(loss > loss_threshold, it < max_steps)
+
+    def body(carry):
+        params, opt_state, key, _, it = carry
+
+        def loss_fn(p):
+            out = apply_fn(p, coords)
+            return mse(out, target), out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+
+        collapsed = jnp.max(jnp.abs(out)) == 0.0
+        key, sub = jax.random.split(key)
+
+        def restart(_):
+            p = init_fn(sub)
+            return p, tx.init(p)
+
+        params, opt_state = jax.lax.cond(
+            collapsed, restart, lambda _: (params, opt_state), None
+        )
+        return params, opt_state, key, loss, it + 1
+
+    init = (params0, tx.init(params0), key, jnp.asarray(jnp.inf), jnp.asarray(0))
+    params, _, _, loss, it = jax.lax.while_loop(cond, body, init)
+    return params, it, loss
+
+
+# --------------------------------------------------------------------------
+# superresDWI two-phase + alternating PerturbNet fit
+# --------------------------------------------------------------------------
+
+
+class AlternatingResult(NamedTuple):
+    inr_params: Params
+    pn_params: Params
+    losses: Array
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "inr_apply",
+        "pn_apply",
+        "inr_tx",
+        "pn_tx",
+        "num_epochs",
+        "pn_epochs",
+    ),
+    donate_argnames=("inr_params", "pn_params"),
+)
+def fit_alternating_pn(
+    inr_apply: Callable,
+    pn_apply: Callable,
+    inr_tx: optax.GradientTransformation,
+    pn_tx: optax.GradientTransformation,
+    inr_params: Params,
+    pn_params: Params,
+    ff_coords: Array,  # (P, 2m) Fourier-encoded LR grid
+    mean_target: Array,  # (P, 1) LR mean image
+    acq_pixels: Array,  # (A, P, 1) per-acquisition targets
+    B: Array,  # Fourier matrix, for the double-mapping of PN output
+    num_epochs: int = 2500,
+    pn_epochs: int = 10,
+    pn_eps: float = 1.0 / 128.0,
+) -> AlternatingResult:
+    """superresDWI.py:132-156: ``num_epochs - pn_epochs`` INR-on-mean steps,
+    then ``pn_epochs`` alternating steps — odd: INR-on-mean; even: one
+    PN-only Adam update per acquisition.
+
+    Quirk preserved: the PN consumes the *encoded* coords and its d-dim output
+    is Fourier-encoded again before the INR (SRDWI.py:149-151) — so the INR
+    sees gamma(PN(gamma(x))) rather than gamma(x + PN(...)).
+    """
+    inr_opt = inr_tx.init(inr_params)
+    pn_opt = pn_tx.init(pn_params)
+
+    def inr_step(inr_params, inr_opt):
+        def loss_fn(p):
+            return mse(inr_apply(p, ff_coords), mean_target)
+
+        loss, grads = jax.value_and_grad(loss_fn)(inr_params)
+        updates, inr_opt = inr_tx.update(grads, inr_opt)
+        return optax.apply_updates(inr_params, updates), inr_opt, loss
+
+    def phase1(carry, _):
+        inr_params, inr_opt = carry
+        inr_params, inr_opt, loss = inr_step(inr_params, inr_opt)
+        return (inr_params, inr_opt), loss
+
+    (inr_params, inr_opt), p1_losses = jax.lax.scan(
+        phase1, (inr_params, inr_opt), None, length=num_epochs - pn_epochs
+    )
+
+    acq_ids = jnp.arange(acq_pixels.shape[0], dtype=jnp.float32)
+
+    # The even branch needs the *current* INR params without updating them;
+    # lax.cond passes them through the operand tuple.
+    def phase2_step(carry, epoch):
+        inr_params, inr_opt, pn_params, pn_opt = carry
+        is_odd = (epoch % 2) == 1
+
+        def odd_branch(operand):
+            inr_params, inr_opt, pn_params, pn_opt = operand
+            inr_params2, inr_opt2, loss = inr_step(inr_params, inr_opt)
+            return inr_params2, inr_opt2, pn_params, pn_opt, loss
+
+        def even_branch(operand):
+            inr_params, inr_opt, pn_params, pn_opt = operand
+
+            def pn_update(carry, inputs):
+                pn_params, pn_opt = carry
+                sample_idx, target = inputs
+
+                def loss_fn(p):
+                    perturbed = pn_apply(p, ff_coords, sample_idx, pn_eps)
+                    re_encoded = fourier_encode(perturbed, B)
+                    return mse(inr_apply(inr_params, re_encoded), target)
+
+                loss, grads = jax.value_and_grad(loss_fn)(pn_params)
+                updates, pn_opt = pn_tx.update(grads, pn_opt)
+                return (optax.apply_updates(pn_params, updates), pn_opt), loss
+
+            (pn_params, pn_opt), losses = jax.lax.scan(
+                pn_update, (pn_params, pn_opt), (acq_ids, acq_pixels)
+            )
+            return inr_params, inr_opt, pn_params, pn_opt, losses.mean()
+
+        inr_params, inr_opt, pn_params, pn_opt, loss = jax.lax.cond(
+            is_odd, odd_branch, even_branch, (inr_params, inr_opt, pn_params, pn_opt)
+        )
+        return (inr_params, inr_opt, pn_params, pn_opt), loss
+
+    epochs = jnp.arange(num_epochs - pn_epochs, num_epochs)
+    (inr_params, inr_opt, pn_params, pn_opt), p2_losses = jax.lax.scan(
+        phase2_step, (inr_params, inr_opt, pn_params, pn_opt), epochs
+    )
+    return AlternatingResult(
+        inr_params, pn_params, jnp.concatenate([p1_losses, p2_losses])
+    )
+
+
+# --------------------------------------------------------------------------
+# chunked dense-grid inference
+# --------------------------------------------------------------------------
+
+
+def infer_grid(
+    apply_fn: Callable,
+    params: Params,
+    coords: Array,
+    encode: Callable[[Array], Array] | None = None,
+    chunk: int = 262_144,
+    clamp_min: float | None = None,
+) -> Array:
+    """Evaluate the INR on a dense grid in memory-bounded chunks.
+
+    Dense upsample grids (2x/4x volumes, the 100^3 coronal grid of
+    superresDWI.py:217-221) explode once Fourier-encoded; chunking keeps the
+    peak footprint flat. Returns (P, out_features).
+    """
+    P = coords.shape[0]
+
+    @jax.jit
+    def run(c):
+        x = encode(c) if encode is not None else c
+        out = apply_fn(params, x)
+        return jnp.clip(out, clamp_min, None) if clamp_min is not None else out
+
+    if P <= chunk:
+        return run(coords)
+    outs = [run(coords[i : i + chunk]) for i in range(0, P, chunk)]
+    return jnp.concatenate(outs, axis=0)

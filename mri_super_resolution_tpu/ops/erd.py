@@ -1,0 +1,151 @@
+"""ERD (erroneous-repetition detection): outlier acquisition rejection.
+
+Reference equivalents:
+- ``auto_erd`` — master.py:76-93: per-pixel sklearn
+  ``AgglomerativeClustering(n_clusters=2, linkage='complete')`` over the
+  acquisition intensity vector, then either
+  * mode 1 (majority vote): if one cluster holds >= 2/3 of acquisitions,
+    reject the other cluster's acquisitions;
+  * mode 2 (intensity-cognisant): where the reference ERD map is positive,
+    reject the higher-mean cluster.
+  The reference fits 60x60 sklearn models in a Python double loop (CPU hot
+  loop #1). Here the clustering is computed exactly, in parallel for every
+  pixel: for 1-D data under complete linkage, clusters are contiguous
+  intervals in sorted order, so agglomeration reduces to repeatedly removing
+  the cheapest sorted-order boundary (cost = interval max - interval min).
+- ``soft_erd_mean`` / ``soft_erd_weights`` — INR_ERD.py:126-160 and
+  :222-236: softmax-temperature weighting with
+  ``T = max(mul * exp(-slope * mean(x)/b0), 2)`` applied only where
+  ``mean(x) > 2 * noise_level``. Pure elementwise ops.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _complete_linkage_split(values: Array) -> Array:
+    """Exact 2-cluster complete-linkage labels for a 1-D vector.
+
+    Returns int labels (0 = lower cluster, 1 = upper cluster) in the input's
+    original order. Complete-linkage agglomeration on 1-D data keeps clusters
+    as contiguous sorted intervals; merging adjacent intervals L, R costs
+    ``max(R) - min(L)``. We start from singletons and perform A-2 cheapest
+    merges, tracked as a boundary-activity mask over the A-1 sorted gaps.
+    """
+    A = values.shape[0]
+    order = jnp.argsort(values)
+    v = values[order]
+
+    nb = A - 1  # candidate boundaries between sorted positions k and k+1
+    idx = jnp.arange(nb)
+
+    def merge_once(active, _):
+        # prev_active[k]: largest active boundary j < k (else -1)
+        # next_active[k]: smallest active boundary j > k (else A-1 sentinel)
+        mask_lt = idx[None, :] < idx[:, None]  # j < k
+        prev = jnp.max(
+            jnp.where(mask_lt & active[None, :], idx[None, :], -1), axis=1
+        )
+        mask_gt = idx[None, :] > idx[:, None]
+        nxt = jnp.min(
+            jnp.where(mask_gt & active[None, :], idx[None, :], nb), axis=1
+        )
+        # merging across boundary k joins [prev+1 .. k] with [k+1 .. nxt]
+        cost = v[nxt] - v[prev + 1]
+        cost = jnp.where(active, cost, jnp.inf)
+        k = jnp.argmin(cost)
+        return active.at[k].set(False), None
+
+    active0 = jnp.ones((nb,), dtype=bool)
+    active, _ = jax.lax.scan(merge_once, active0, None, length=A - 2)
+    # exactly one boundary remains: positions above it form the upper cluster
+    split = jnp.argmax(active)
+    labels_sorted = (jnp.arange(A) > split).astype(jnp.int32)
+    labels = jnp.zeros((A,), jnp.int32).at[order].set(labels_sorted)
+    return labels
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def auto_erd(
+    img: Array,  # (H, W, A) acquisition stack for one slice
+    erd_map: Array | None = None,  # (H, W) reference ERD (mode 2)
+    mode: int = 1,
+) -> Array:
+    """Per-pixel acceptance mask (H, W, A), 1 = keep.
+
+    mode 1: reject the minority cluster when the majority holds >= 2/3 of A.
+    mode 2: where ``erd_map > 0``, reject the higher-mean cluster.
+    """
+    A = img.shape[-1]
+    flat = img.reshape(-1, A)
+    labels = jax.vmap(_complete_linkage_split)(flat)  # (P, A)
+
+    len1 = labels.sum(axis=1, keepdims=True)  # cluster-1 sizes
+    len0 = A - len1
+    sum1 = jnp.sum(jnp.where(labels == 1, flat, 0.0), axis=1, keepdims=True)
+    sum0 = jnp.sum(jnp.where(labels == 0, flat, 0.0), axis=1, keepdims=True)
+    mean1 = sum1 / jnp.maximum(len1, 1)
+    mean0 = sum0 / jnp.maximum(len0, 1)
+
+    if mode == 1:
+        # reject cluster c where the other cluster's size >= 2/3 A
+        thresh = (2.0 / 3.0) * A
+        reject1 = (len0 >= thresh) & (labels == 1)
+        reject0 = (len1 >= thresh) & (labels == 0)
+        accept = ~(reject0 | reject1)
+    elif mode == 2:
+        if erd_map is None:
+            raise ValueError("mode 2 requires erd_map")
+        gate = (erd_map.reshape(-1, 1) > 0)
+        higher_is_1 = mean1 > mean0
+        reject = jnp.where(higher_is_1, labels == 1, labels == 0)
+        accept = ~(gate & reject)
+    else:
+        raise ValueError(f"mode must be 1 or 2, got {mode}")
+    return accept.astype(jnp.int32).reshape(img.shape)
+
+
+def _soft_temperature(x_mean: Array, b0: Array, mul: float, slope: float) -> Array:
+    return jnp.maximum(mul * jnp.exp(-slope * (x_mean / b0)), 2.0)
+
+
+@jax.jit
+def soft_erd_mean(
+    acq: Array,  # (H, W, A) acquisitions of one slice
+    b0: Array,  # (H, W)
+    noise_level: Array,  # scalar
+    mul: float = 1000.0,
+    slope: float = 20.0,
+) -> Array:
+    """Softmax-temperature weighted mean image (``calc_adc_erd_single2``,
+    INR_ERD.py:126-160). Below 2x noise the plain mean is used."""
+    x_mean = acq.mean(axis=-1)
+    temp = _soft_temperature(x_mean, b0, mul, slope)
+    w = jax.nn.softmax(acq / temp[..., None], axis=-1)
+    soft = jnp.sum(w * acq, axis=-1)
+    return jnp.where(x_mean > 2.0 * noise_level, soft, x_mean)
+
+
+@jax.jit
+def soft_erd_weights(
+    acq: Array,
+    b0: Array,
+    noise_level: Array,
+    mul: float = 1000.0,
+    slope: float = 20.0,
+) -> Array:
+    """Per-acquisition loss weights (INR_ERD.py:222-236): raw ``exp(x/T)``
+    where signal exceeds 2x noise, else uniform ``1/A``. Note the training
+    weights are deliberately *unnormalised* exp (matching the reference),
+    unlike the softmax used for the mean image."""
+    A = acq.shape[-1]
+    x_mean = acq.mean(axis=-1)
+    temp = _soft_temperature(x_mean, b0, mul, slope)
+    w = jnp.exp(acq / temp[..., None])
+    uniform = jnp.full_like(acq, 1.0 / A)
+    return jnp.where((x_mean > 2.0 * noise_level)[..., None], w, uniform)

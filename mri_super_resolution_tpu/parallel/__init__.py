@@ -1,0 +1,15 @@
+"""Parallelism: device meshes, voxel-sharded fits, cohort runners."""
+
+from mri_super_resolution_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    data_sharding,
+    case_data_sharding,
+    replicated,
+    shard_batch,
+    pad_to_multiple,
+)
+from mri_super_resolution_tpu.parallel.sharded_fit import (  # noqa: F401
+    make_sharded_fit,
+    make_cohort_fit,
+    stack_params,
+)

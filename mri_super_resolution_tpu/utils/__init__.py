@@ -1,0 +1,12 @@
+"""Utilities: profiling, checkpointing, config."""
+
+from mri_super_resolution_tpu.utils.profiling import (  # noqa: F401
+    Throughput,
+    trace,
+    time_jitted,
+)
+from mri_super_resolution_tpu.utils.checkpoint import (  # noqa: F401
+    save_pytree,
+    restore_pytree,
+    CheckpointManager,
+)

@@ -1,0 +1,26 @@
+"""Test harness configuration.
+
+Runs the whole suite on a virtual 8-device CPU mesh so that single-machine CI
+exercises the same sharding code paths as a real TPU pod
+(the standard JAX substitute for multi-chip testing; see SURVEY.md section 4).
+Must set the environment before JAX initialises its backends.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,154 @@
+"""Fit-engine tests: convergence, ensemble tail, restart loop, PN alternation."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from mri_super_resolution_tpu.core.coords import mgrid, fourier_matrix, fourier_encode
+from mri_super_resolution_tpu.fit.engine import (
+    fit_simple,
+    fit_ensemble,
+    fit_until,
+    fit_alternating_pn,
+    infer_grid,
+)
+from mri_super_resolution_tpu.models import Siren, SirenERD, PerturbNet
+
+
+def _target_image(side):
+    y, x = np.mgrid[0:side, 0:side] / side
+    return np.asarray(0.5 + 0.4 * np.sin(6 * x) * np.cos(4 * y), dtype=np.float32)
+
+
+class TestFitSimple:
+    def test_converges(self):
+        side = 16
+        img = _target_image(side)
+        coords = mgrid((side, side))
+        target = jnp.asarray(img.reshape(-1, 1))
+        model = Siren(hidden_features=64, hidden_layers=2)
+        params = model.init(jax.random.key(0), coords)
+        tx = optax.adam(1e-4)
+        res = fit_simple(model.apply, tx, params, coords, target, 400)
+        assert float(res.losses[-1]) < float(res.losses[0])
+        assert float(res.losses[-1]) < 5e-3
+
+    def test_loss_trace_length(self):
+        coords = mgrid((8, 8))
+        target = jnp.zeros((64, 1))
+        model = Siren(hidden_features=16, hidden_layers=1)
+        params = model.init(jax.random.key(0), coords)
+        res = fit_simple(model.apply, optax.adam(1e-4), params, coords, target, 17)
+        assert res.losses.shape == (17,)
+
+
+class TestFitEnsemble:
+    def test_runs_and_averages(self):
+        side, scale, A = 12, 2, 3
+        rng = np.random.default_rng(0)
+        img = _target_image(side)
+        pixels = jnp.asarray(
+            np.stack([img + 0.01 * rng.normal(size=img.shape) for _ in range(A)])
+            .reshape(A, -1, 1)
+            .astype(np.float32)
+        )
+        weights = jnp.ones_like(pixels)
+        coords = mgrid((side, side))
+        coords_s = mgrid((side * scale, side * scale))
+        model = Siren(hidden_features=32, hidden_layers=1)
+        params = model.init(jax.random.key(0), coords)
+        res = fit_ensemble(
+            model.apply, optax.adam(3e-4), params, coords, pixels, weights,
+            coords, coords_s, total_steps=60, seg=10,
+        )
+        assert res.losses.shape == (60,)
+        assert res.pred_1x.shape == (side * side, 1)
+        assert res.pred_scale.shape == (side * scale * side * scale, 1)
+        # ensemble mean should approximate the (noisy) target
+        err = np.abs(np.asarray(res.pred_1x).reshape(side, side) - img).mean()
+        assert err < 0.2
+
+    def test_weights_mask_out_outlier(self):
+        """An acquisition weighted 0 must not influence the fit."""
+        side, A = 10, 2
+        img = _target_image(side)
+        good = img.reshape(-1, 1)
+        bad = np.full_like(good, 10.0)  # wild outlier
+        pixels = jnp.asarray(np.stack([good, bad]).astype(np.float32))
+        weights = jnp.asarray(
+            np.stack([np.ones_like(good), np.zeros_like(good)]).astype(np.float32)
+        )
+        coords = mgrid((side, side))
+        model = Siren(hidden_features=32, hidden_layers=1)
+        params = model.init(jax.random.key(1), coords)
+        res = fit_ensemble(
+            model.apply, optax.adam(3e-4), params, coords, pixels, weights,
+            coords, coords, total_steps=200, seg=20,
+        )
+        pred = np.asarray(res.pred_1x)
+        assert np.abs(pred - good).mean() < 0.15
+        assert np.abs(pred - bad).mean() > 5.0
+
+
+class TestFitUntil:
+    def test_reaches_threshold(self):
+        side = 12
+        img = _target_image(side)
+        coords = mgrid((side, side))
+        target = jnp.asarray(img.reshape(-1, 1))
+        model = SirenERD(hidden_features=48, hidden_layers=2)
+
+        def init_fn(key):
+            return model.init(key, coords)
+
+        params, steps, loss = fit_until(
+            model.apply, optax.adam(3e-4), init_fn, jax.random.key(0),
+            coords, target, loss_threshold=5e-3, max_steps=3000,
+        )
+        assert float(loss) <= 5e-3
+        assert int(steps) < 3000
+
+
+class TestAlternatingPN:
+    def test_runs(self):
+        side, A, m = 10, 3, 16
+        rng = np.random.default_rng(2)
+        img = _target_image(side)
+        B = fourier_matrix(jax.random.key(5), m, 2, scale=0.5)
+        coords = mgrid((side, side))
+        ff = fourier_encode(coords, B)
+        mean_target = jnp.asarray(img.reshape(-1, 1))
+        acq = jnp.asarray(
+            np.stack([img + 0.02 * rng.normal(size=img.shape) for _ in range(A)])
+            .reshape(A, -1, 1)
+            .astype(np.float32)
+        )
+        inr = Siren(hidden_features=32, hidden_layers=1)
+        pn = PerturbNet(hidden_features=16, dimension=2)
+        inr_params = inr.init(jax.random.key(0), ff)
+        pn_params = pn.init(jax.random.key(1), ff, 0, 0.0)
+        res = fit_alternating_pn(
+            inr.apply, pn.apply, optax.adam(1e-4), optax.adam(1e-6),
+            inr_params, pn_params, ff, mean_target, acq, B,
+            num_epochs=30, pn_epochs=6,
+        )
+        assert res.losses.shape == (30,)
+        assert float(res.losses[20]) < float(res.losses[0])
+
+
+class TestInferGrid:
+    def test_chunked_equals_unchunked(self):
+        model = Siren(hidden_features=16, hidden_layers=1)
+        coords = mgrid((20, 20))
+        params = model.init(jax.random.key(0), coords)
+        full = infer_grid(model.apply, params, coords, chunk=10_000)
+        chunked = infer_grid(model.apply, params, coords, chunk=64)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), atol=1e-6)
+
+    def test_clamp(self):
+        model = Siren(hidden_features=16, hidden_layers=1)
+        coords = mgrid((8, 8))
+        params = model.init(jax.random.key(3), coords)
+        out = infer_grid(model.apply, params, coords, clamp_min=0.0)
+        assert float(out.min()) >= 0.0
