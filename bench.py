@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Headline benchmark: 3-D volume INR fit throughput (voxels/sec/chip).
+
+Workload = the reference's flagship 3-D fit (superresDWI.py:102-156):
+Fourier-feature SIREN (128 mappings -> 256 input dims, 512x3 hidden) trained
+full-batch on the LR ROI volume grid (25 x 25 x S x 4 coords per step, Adam).
+
+Prints ONE JSON line:
+    {"metric": "inr_fit_voxels_per_sec_per_chip", "value": ..., "unit":
+     "voxels/sec/chip", "vs_baseline": ...}
+
+``vs_baseline`` divides our throughput by the reference PyTorch
+implementation's, measured on this host's CPU with identical shapes (the
+reference's CUDA GPU is unavailable here; see BASELINE.md for the protocol
+and caveats). Pass --no-torch to reuse the last stored baseline number.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
+
+S_SLICES = 28  # slices in the anon volumes
+SHAPE = (25, 25, S_SLICES, 4)  # LR ROI voxel grid (superresDWI.py:92-100)
+MAPPING = 128
+HIDDEN = 512
+LAYERS = 3
+
+
+def measure_jax(steps: int) -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mri_super_resolution_tpu.core.coords import fourier_matrix, fourier_encode, mgrid
+    from mri_super_resolution_tpu.fit.engine import fit_simple
+    from mri_super_resolution_tpu.models import Siren
+    from mri_super_resolution_tpu.utils import time_jitted
+
+    key = jax.random.key(0)
+    B = fourier_matrix(key, MAPPING, len(SHAPE), scale=0.5)
+    coords = mgrid(SHAPE)
+    ff = fourier_encode(coords, B)  # encode once outside the loop, like the ref
+    target = jax.random.uniform(key, (coords.shape[0], 1))
+    model = Siren(hidden_features=HIDDEN, hidden_layers=LAYERS)
+    params = model.init(key, ff[:8])
+    tx = optax.adam(1e-4)
+
+    def run():
+        res = fit_simple(model.apply, tx, jax.tree.map(jnp.copy, params), ff, target, steps)
+        return res.losses
+
+    sec = time_jitted(run, repeats=3, warmup=1)
+    voxels = coords.shape[0] * steps
+    return voxels / sec
+
+
+def measure_torch(steps: int) -> float:
+    """Reference PyTorch workload (superresDWI.py:105-145 semantics) on CPU."""
+    import torch
+
+    torch.manual_seed(0)
+    P = 1
+    for s in SHAPE:
+        P *= s
+    x = torch.rand(P, 2 * MAPPING)
+    y = torch.rand(P, 1)
+
+    layers = []
+    in_dim = 2 * MAPPING
+
+    class Sine(torch.nn.Module):
+        def __init__(self, i, o):
+            super().__init__()
+            self.lin = torch.nn.Linear(i, o)
+
+        def forward(self, t):
+            return torch.sin(30.0 * self.lin(t))
+
+    net = torch.nn.Sequential(
+        Sine(in_dim, HIDDEN),
+        *[Sine(HIDDEN, HIDDEN) for _ in range(LAYERS)],
+        torch.nn.Linear(HIDDEN, 1),
+    )
+    opt = torch.optim.Adam(net.parameters(), lr=1e-4)
+    # warmup
+    for _ in range(2):
+        loss = ((net(x) - y) ** 2).mean()
+        opt.zero_grad(); loss.backward(); opt.step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        loss = ((net(x) - y) ** 2).mean()
+        opt.zero_grad(); loss.backward(); opt.step()
+    sec = time.perf_counter() - t0
+    return P * steps / sec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="fewer steps for smoke runs")
+    ap.add_argument("--no-torch", action="store_true", help="reuse cached torch baseline")
+    args = ap.parse_args()
+
+    steps = 30 if args.quick else 200
+    torch_steps = 3 if args.quick else 10
+
+    ours = measure_jax(steps)
+
+    baseline = None
+    if args.no_torch and os.path.exists(BASELINE_CACHE):
+        baseline = json.load(open(BASELINE_CACHE))["torch_cpu_voxels_per_sec"]
+    if baseline is None:
+        baseline = measure_torch(torch_steps)
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"torch_cpu_voxels_per_sec": baseline}, f)
+
+    print(
+        json.dumps(
+            {
+                "metric": "inr_fit_voxels_per_sec_per_chip",
+                "value": round(ours, 1),
+                "unit": "voxels/sec/chip",
+                "vs_baseline": round(ours / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

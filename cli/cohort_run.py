@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Cohort-parallel INR fitting across the device mesh (BASELINE config 5).
+
+Fits every patient's cancer-slice mean simultaneously: case axis sharded over
+chips, all fits inside one jitted scan. Reports cohort voxels/sec.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mri_super_resolution_tpu.data import load_cases
+from mri_super_resolution_tpu.pipelines import cohort
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--hidden_features", type=int, default=64)
+    p.add_argument("--hidden_layers", type=int, default=6)
+    p.add_argument("--limit_cases", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    cases = load_cases(limit=args.limit_cases)
+    if not cases:
+        p.error("no cases found")
+    res = cohort.run_cohort(
+        cases,
+        num_steps=args.steps,
+        hidden_features=args.hidden_features,
+        hidden_layers=args.hidden_layers,
+        seed=args.seed,
+    )
+    print(
+        f"cohort of {len(cases)} cases on mesh {res.mesh_shape}: "
+        f"{res.voxels_per_sec:,.0f} voxels/sec, "
+        f"final losses {[round(float(l), 5) for l in res.losses[:, -1]]}"
+    )
+
+
+if __name__ == "__main__":
+    main()

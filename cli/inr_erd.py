@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Soft-ERD two-phase INR fine-tune — INR_ERD.py equivalent.
+
+Reference: implicit-neural-representations/INR_ERD.py. The original loads
+per-b bigImage.mat volumes from a cluster path; here the high-b acquisition
+stacks are synthesized from the distributed mean-b0 volumes when real data is
+absent.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from mri_super_resolution_tpu.config import INRERDConfig
+from mri_super_resolution_tpu.data import available_patients, load_mat
+from mri_super_resolution_tpu.data import synthetic
+from mri_super_resolution_tpu.pipelines import inr_erd
+
+
+def build_cases(limit=None, num_acq=9, data_dir=None):
+    data_dir = data_dir or os.environ.get("MRI_SR_DATA_DIR", "/root/reference/anon_data")
+    cases = []
+    for row in available_patients(data_dir)[:limit]:
+        pt_no = row["pt_id"].split("-")[-1]
+        b0 = np.asarray(
+            load_mat(os.path.join(data_dir, f"pat{pt_no}_mean_b0.mat"), "data_mean_b0"),
+            dtype=np.float32,
+        )
+        b = (0.0, 150.0, 1000.0, 1500.0) if row["b"] == 1500.0 else (0.0, 300.0, 600.0, 900.0)
+        b3 = synthetic.acquisitions_from_b0(b0, num_acq=num_acq, b=b[3], seed=int(pt_no))
+        cases.append(
+            inr_erd.ERDCase(
+                pt_id=row["pt_id"],
+                b=b,
+                cancer_loc=row["cancer_loc"],
+                contralateral_loc=row["contralateral_loc"],
+                noise=row["noise"],
+                cancer_slice=row["cancer_slice"],
+                b0=b0,
+                b3=b3,
+            )
+        )
+    return cases
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--seeds", type=int, default=10)
+    p.add_argument("--limit_cases", type=int, default=None)
+    p.add_argument("--num_acq", type=int, default=9)
+    p.add_argument("--loss_threshold", type=float, default=2e-5)
+    p.add_argument("--out_csv", default="experiments.csv")
+    p.add_argument("--models_dir", default="models")
+    p.add_argument("--data_dir", default=None)
+    args = p.parse_args(argv)
+
+    cfg = INRERDConfig(seeds=args.seeds, loss_threshold=args.loss_threshold)
+    cases = build_cases(args.limit_cases, args.num_acq, args.data_dir)
+    if not cases:
+        p.error("no cases found")
+    os.makedirs(args.models_dir, exist_ok=True)
+    path = inr_erd.run(cases, cfg, args.out_csv, models_dir=os.path.abspath(args.models_dir))
+    print(f"metrics written to {path}")
+
+
+if __name__ == "__main__":
+    main()

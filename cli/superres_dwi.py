@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""3-D volume FF-INR + PerturbNet super-resolution — superresDWI.py equivalent.
+
+Reference: implicit-neural-representations/superresDWI.py. Loads hybrid
+master.mat volumes if given, otherwise synthesizes hybrid acquisitions from
+the distributed mean-b0 volumes (see data/synthetic.py docstring).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from mri_super_resolution_tpu.config import SupperresDWIConfig
+from mri_super_resolution_tpu.data import load_mat, available_patients
+from mri_super_resolution_tpu.data import synthetic
+from mri_super_resolution_tpu.pipelines import superres3d
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--master_mats", nargs="*", default=None,
+                   help="paths to master.mat files (else synthesize from anon_data)")
+    p.add_argument("--epochs", type=int, default=2500)
+    p.add_argument("--pn_epochs", type=int, default=10)
+    p.add_argument("--hidden_dim", type=int, default=512)
+    p.add_argument("--num_layers", type=int, default=3)
+    p.add_argument("--mapping_size", type=int, default=128)
+    p.add_argument("--roi_start", type=int, default=40)
+    p.add_argument("--roi_end", type=int, default=90)
+    p.add_argument("--limit_patients", type=int, default=None)
+    p.add_argument("--save_panels", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="SR_results")
+    args = p.parse_args(argv)
+
+    cfg = SupperresDWIConfig(
+        number_of_epochs=args.epochs,
+        perturbation_epochs=args.pn_epochs,
+        hidden_dim=args.hidden_dim,
+        num_layers=args.num_layers,
+        mapping_size=args.mapping_size,
+        roi_start=args.roi_start,
+        roi_end=args.roi_end,
+    )
+
+    patients = []
+    if args.master_mats:
+        for path in args.master_mats:
+            pt_id = os.path.basename(os.path.dirname(path)) or os.path.basename(path)
+            hybrid, b = superres3d.load_hybrid(path)
+            patients.append((pt_id, hybrid, b))
+    else:
+        rows = available_patients()[: args.limit_patients]
+        b_values = (0.0, 150.0, 1000.0, 1500.0)
+        for row in rows:
+            pt_no = row["pt_id"].split("-")[-1]
+            b0 = np.asarray(
+                load_mat(
+                    os.path.join(
+                        os.environ.get("MRI_SR_DATA_DIR", "/root/reference/anon_data"),
+                        f"pat{pt_no}_mean_b0.mat",
+                    ),
+                    "data_mean_b0",
+                ),
+                dtype=np.float32,
+            )
+            hybrid = synthetic.hybrid_from_b0(b0, b_values=b_values, seed=int(pt_no))
+            patients.append((pt_no, hybrid, np.asarray(b_values)))
+
+    if not patients:
+        p.error("no patients found")
+    out = superres3d.run(patients, cfg, args.out, seed=args.seed, save_panels=args.save_panels)
+    print(f"results in {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,55 @@ def acquisitions_from_b0(
     return out
 
 
+def hybrid_from_b0(
+    b0: np.ndarray,
+    b_values=(0.0, 150.0, 1000.0, 1500.0),
+    te_values=(57.0, 70.0, 150.0, 200.0),
+    acq_counts=(1, 3, 5, 5),
+    seed: int = 0,
+    noise_sigma_frac: float = 0.02,
+) -> list[list[np.ndarray]]:
+    """Synthesize the nested ``hybrid_raw[b][te]`` structure of master.mat
+    (superresDWI.py:40-55): per (b, TE), a volume with ``acq_counts[b]``
+    repeated acquisitions (b=0 entry is a single volume without the trailing
+    acquisition axis, matching ``calculate_combinations``'s b0 handling,
+    SRDWI.py:145-147).
+
+    Signal model: S = b0 * exp(-b*ADC/1e3 [ADC in 1e-3 mm^2/s]) * exp(-TE/T2)
+    with smooth ADC/T2 fields, plus Rician noise.
+    """
+    rng = np.random.default_rng(seed)
+    H, W, S = b0.shape
+    adc = _smooth_field(rng, (H, W, S), scale=3.0, base=0.7, amp=1.8)
+    t2 = _smooth_field(rng, (H, W, S), scale=3.0, base=50.0, amp=400.0)
+    sigma = noise_sigma_frac * np.percentile(b0, 99.5)
+
+    out: list[list[np.ndarray]] = []
+    for bi, b in enumerate(b_values):
+        row: list[np.ndarray] = []
+        decay_b = np.exp(-b * adc / 1000.0)
+        for te in te_values:
+            clean = b0 * decay_b * np.exp(-(te - te_values[0]) / t2)
+            if bi == 0:
+                re = clean + rng.normal(0.0, sigma, clean.shape)
+                im = rng.normal(0.0, sigma, clean.shape)
+                row.append(np.sqrt(re**2 + im**2).astype(np.float32))
+            else:
+                acqs = np.empty((H, W, S, acq_counts[bi]), dtype=np.float32)
+                for a in range(acq_counts[bi]):
+                    dx, dy = rng.normal(0.0, 0.4, size=2)
+                    moved = np.stack(
+                        [_subpixel_shift2d(clean[:, :, s], dx, dy) for s in range(S)],
+                        axis=-1,
+                    )
+                    re = moved + rng.normal(0.0, sigma, moved.shape)
+                    im = rng.normal(0.0, sigma, moved.shape)
+                    acqs[..., a] = np.sqrt(re**2 + im**2)
+                row.append(acqs)
+        out.append(row)
+    return out
+
+
 def toy_image(side: int = 180, seed: int = 0) -> np.ndarray:
     """A structured toy target (rings + gradient), stand-in for toy.mat."""
     rng = np.random.default_rng(seed)

@@ -1,6 +1,7 @@
 """Model zoo: SIREN family, PerturbNet, WIRE, PIA, RAMS."""
 
 from mri_super_resolution_tpu.models.siren import (  # noqa: F401
+    set_precision,
     SineLayer,
     Siren,
     SirenERD,
@@ -15,3 +16,4 @@ from mri_super_resolution_tpu.models.pia import (  # noqa: F401
     pia_loss_supervised,
     synthetic_batch,
 )
+from mri_super_resolution_tpu.models.rams import RAMS  # noqa: F401

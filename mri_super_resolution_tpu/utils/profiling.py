@@ -46,15 +46,18 @@ def trace(logdir: str | None):
 def time_jitted(fn: Callable[[], Any], repeats: int = 3, warmup: int = 1) -> float:
     """Median wall-clock seconds of ``fn()`` with device fencing.
 
-    ``fn`` must return a pytree of jax arrays (blocked on before stopping the
-    clock). ``warmup`` calls absorb compilation.
+    ``fn`` must return a pytree of jax arrays. The fence is ``jax.device_get``
+    (host transfer), NOT ``block_until_ready``: on the tunnelled "axon" TPU
+    backend in this environment block_until_ready returns early, yielding
+    wildly inflated throughput (observed 100x). A host copy cannot complete
+    before the computation has.
     """
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        jax.device_get(fn())
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        jax.device_get(fn())
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]

@@ -1,0 +1,74 @@
+"""Integration test of the 3-D FF-INR + PerturbNet pipeline (tiny config)."""
+import os
+
+import numpy as np
+import pytest
+
+from mri_super_resolution_tpu.config import SupperresDWIConfig
+from mri_super_resolution_tpu.data import synthetic
+from mri_super_resolution_tpu.models import Siren
+from mri_super_resolution_tpu.pipelines import superres3d
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    rng = np.random.default_rng(0)
+    b0 = np.abs(rng.normal(1.0, 0.3, size=(24, 24, 3))).astype(np.float32)
+    hybrid = synthetic.hybrid_from_b0(b0, acq_counts=(1, 2, 2, 2), seed=1)
+    bvalues = np.asarray([0.0, 150.0, 1000.0, 1500.0])
+    cfg = SupperresDWIConfig(
+        number_of_epochs=30,
+        perturbation_epochs=4,
+        hidden_dim=32,
+        num_layers=1,
+        pn_dim=16,
+        roi_start=4,
+        roi_end=20,
+        mapping_size=16,
+    )
+    return hybrid, bvalues, cfg
+
+
+class TestSuperres3D:
+    def test_run_patient_shapes(self, tiny_setup):
+        hybrid, bvalues, cfg = tiny_setup
+        result = superres3d.run_patient(hybrid, bvalues, cfg, seed=0, pt_id=7)
+        sx = cfg.roi_end - cfg.roi_start
+        assert result.recon_2x.shape == (2 * sx, 2 * sx, 3, 4)
+        assert result.sr_hr_grid.shape == (sx, sx, 3, 4)
+        assert result.mean_img.shape == (24, 24, 3, 4)
+        assert (result.recon_2x >= 0).all()  # clamped
+        assert len(result.ssim_rows) == 3 * 4  # slices x b-values
+        for row in result.ssim_rows:
+            assert -1.0 <= row[3] <= 1.0 and -1.0 <= row[4] <= 1.0
+
+    def test_adc_and_coronal(self, tiny_setup):
+        hybrid, bvalues, cfg = tiny_setup
+        result = superres3d.run_patient(hybrid, bvalues, cfg, seed=0)
+        adc_sr, adc_sp, adc_hr = superres3d.adc_maps(result, cfg, _slice=1)
+        sx2 = 2 * (cfg.roi_end - cfg.roi_start)
+        assert adc_sr.shape == adc_sp.shape == adc_hr.shape == (sx2, sx2)
+        assert np.isfinite(adc_sr).all()
+        assert adc_sr.max() <= 3.0 and adc_sr.min() >= -10.0
+
+        inr = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
+        cor = superres3d.coronal_recon(result, inr.apply, cfg, transverse_length=10)
+        assert cor.shape == (sx2, sx2, 10, 1)
+
+    def test_driver_writes_csv(self, tiny_setup, tmp_path):
+        hybrid, bvalues, cfg = tiny_setup
+        out = superres3d.run([(99, hybrid, bvalues)], cfg, str(tmp_path), seed=0)
+        csv = os.path.join(out, "pat99", "ssim_scores.csv")
+        lines = open(csv).read().splitlines()
+        assert lines[0].startswith("Pt_id")
+        assert len(lines) == 1 + 3 * 4
+
+    def test_expansion_count(self, tiny_setup):
+        hybrid, bvalues, cfg = tiny_setup
+        normed, maxes = superres3d.normalize_hybrid(hybrid)
+        from mri_super_resolution_tpu.data import expand_from_hybrid
+
+        acq = np.asarray(expand_from_hybrid(normed, te=0))
+        assert acq.shape[-1] == 2 * 2 * 2
+        assert maxes.shape == (4, 4)
+        assert np.all(maxes > 0)

@@ -1,0 +1,54 @@
+"""MISR Trainer tests: fit loop, checkpoint save/restore, save-best-only."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mri_super_resolution_tpu.config import TrainerConfig, RAMSConfig
+from mri_super_resolution_tpu.fit.trainer import Trainer
+from mri_super_resolution_tpu.pipelines.misr import build_rams
+
+
+def _tiny_data(rng, n=4, lr_size=8, scale=3, T=9):
+    hr_size = lr_size * scale
+    x = rng.uniform(7000, 8000, (n, lr_size, lr_size, T)).astype(np.float32)
+    y = rng.uniform(7000, 8000, (n, hr_size, hr_size, 1)).astype(np.float32)
+    m = np.ones_like(y)
+    return x, y, m
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return build_rams(RAMSConfig(filters=8, N=1, r=4))
+
+
+class TestTrainer:
+    def test_fit_and_checkpoint(self, tiny_model, tmp_path, rng):
+        x, y, m = _tiny_data(rng)
+        cfg = TrainerConfig(
+            batch_size=2, epochs=2, evaluate_every=2, hr_size=24,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        tr = Trainer(tiny_model, cfg)
+        tr.init(x)
+        state = tr.fit(x, (y, m), validation_data=(x, y, m))
+        assert state.step == 2 * 2  # 2 epochs x 2 batches
+        assert tr.manager.latest_step() is not None
+
+        # restore into a fresh trainer
+        tr2 = Trainer(tiny_model, cfg)
+        st2 = tr2.init(x)
+        assert st2.step == tr.manager.latest_step()
+
+    def test_save_best_only_gates(self, tiny_model, tmp_path, rng):
+        x, _, _ = _tiny_data(rng, n=2)
+        cfg = TrainerConfig(
+            batch_size=2, hr_size=24, checkpoint_dir=str(tmp_path / "ckpt2"),
+            save_best_only=True,
+        )
+        tr = Trainer(tiny_model, cfg)
+        tr.init(x)
+        assert tr._save(10.0) is True
+        tr.state.step += 1
+        assert tr._save(5.0) is False  # worse PSNR skipped
+        tr.state.step += 1
+        assert tr._save(11.0) is True
