@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--roi_end", type=int, default=90)
     p.add_argument("--limit_patients", type=int, default=None)
     p.add_argument("--save_panels", action="store_true")
+    p.add_argument("--export_npz", action="store_true",
+                   help="export zero-shot LR/GT/SR triplets (forbagci.py variant)")
+    p.add_argument("--inr_lr", type=float, default=1e-4,
+                   help="INR learning rate (inrDWI.py clean-data variant uses 5e-5)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="SR_results")
     args = p.parse_args(argv)
@@ -46,6 +50,7 @@ def main(argv=None):
         mapping_size=args.mapping_size,
         roi_start=args.roi_start,
         roi_end=args.roi_end,
+        inr_lr=args.inr_lr,
     )
 
     patients = []
@@ -74,7 +79,10 @@ def main(argv=None):
 
     if not patients:
         p.error("no patients found")
-    out = superres3d.run(patients, cfg, args.out, seed=args.seed, save_panels=args.save_panels)
+    out = superres3d.run(
+        patients, cfg, args.out, seed=args.seed,
+        save_panels=args.save_panels, export_npz=args.export_npz,
+    )
     print(f"results in {out}")
 
 

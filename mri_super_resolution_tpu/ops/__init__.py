@@ -16,3 +16,6 @@ from mri_super_resolution_tpu.ops.tta import (  # noqa: F401
     geometric_ensemble_predict,
     temporal_permute_predict,
 )
+from mri_super_resolution_tpu.ops.nlls import hybrid_fit  # noqa: F401
+from mri_super_resolution_tpu.ops.pids import detect_pids_slice, pids_weight_map  # noqa: F401
+from mri_super_resolution_tpu.ops import perceptual  # noqa: F401

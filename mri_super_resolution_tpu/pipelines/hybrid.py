@@ -1,0 +1,175 @@
+"""Hybrid multi-TE super-resolution + 3-compartment fitting — superresHybrid.
+
+Reference: implicit-neural-representations/superresHybrid.py:25-188. Per TE:
+average acquisitions per b; per-(b, TE) max-normalise; fit an FF-SIREN
+(2*128 -> 512x3) to the 4-b mean ROI volume (::2 LR) for 2500 epochs;
+reconstruct at 2x -> assemble the (2sx, 2sy, S, 4b, 4TE) hybrid; normalise by
+the (b0, TE0) channel x 1000; per-voxel 3-compartment NLLS -> D/T2/v maps;
+polyfit ADC; cancer map (v_ep > 0.4) & (v_lu <= 0.2) with small-object
+removal.
+
+TPU-native: the four per-TE fits are vmapped into one scanned program (four
+independent SIRENs training simultaneously); NLLS is the vmapped LM of
+ops/nlls; small-object removal is a pure-numpy connected-components pass
+(scipy.ndimage replaces skimage.morphology, which is unavailable here).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mri_super_resolution_tpu.core.adc import adc_polyfit
+from mri_super_resolution_tpu.core.coords import fourier_matrix, fourier_encode, mgrid
+from mri_super_resolution_tpu.fit.engine import infer_grid
+from mri_super_resolution_tpu.models import Siren
+from mri_super_resolution_tpu.ops.nlls import hybrid_fit
+
+Array = jax.Array
+
+EPS = 1e-7
+
+
+@dataclasses.dataclass
+class HybridConfig:
+    number_of_epochs: int = 2500
+    hidden_dim: int = 512
+    num_layers: int = 3
+    mapping_size: int = 128
+    ff_scale: float = 0.5
+    roi_start_x: int = 35
+    roi_end_x: int = 95
+    roi_start_y: int = 35
+    roi_end_y: int = 95
+    lr: float = 1e-4
+    nlls_iters: int = 40
+
+
+@dataclasses.dataclass
+class HybridResult:
+    recon_hybrid: np.ndarray  # (2sx, 2sy, S, 4, 4) de-normalised
+    maxes: np.ndarray
+
+
+def mean_over_acquisitions(hybrid_raw_all_acq) -> list[list[np.ndarray]]:
+    """Per (b, TE): average the acquisition axis for b > 0
+    (superresHybrid.py:52-56)."""
+    out = [[None] * 4 for _ in range(4)]
+    for b in range(4):
+        for te in range(4):
+            arr = np.asarray(hybrid_raw_all_acq[b][te], dtype=np.float32)
+            out[b][te] = arr.mean(-1) if (b and arr.ndim == 4) else arr
+    return out
+
+
+def fit_all_te(hybrid_raw, cfg: HybridConfig, seed: int = 0) -> HybridResult:
+    """Fit the four per-TE volumes (vmapped) and assemble the 2x hybrid."""
+    from mri_super_resolution_tpu.pipelines.superres3d import normalize_hybrid
+
+    normed, maxes = normalize_hybrid(hybrid_raw)
+    S = normed[0][0].shape[2]
+    sx = cfg.roi_end_x - cfg.roi_start_x
+    sy = cfg.roi_end_y - cfg.roi_start_y
+
+    # per-TE 4-b mean volumes, ROI ::2 LR
+    lr_targets = []
+    for te in range(4):
+        vol = np.stack([normed[b][te] for b in range(4)], axis=-1)  # (X, Y, S, 4)
+        lr = vol[cfg.roi_start_x : cfg.roi_end_x : 2, cfg.roi_start_y : cfg.roi_end_y : 2]
+        lr_targets.append(lr.reshape(-1, 1))
+    lr_shape = (sx // 2 + sx % 2, sy // 2 + sy % 2, S, 4)
+    targets = jnp.asarray(np.stack(lr_targets).astype(np.float32))  # (4, P, 1)
+
+    key = jax.random.key(seed)
+    kB, kI = jax.random.split(key)
+    B = fourier_matrix(kB, cfg.mapping_size, 4, scale=cfg.ff_scale)
+    ff = fourier_encode(mgrid(lr_shape), B)
+
+    model = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
+    keys = jax.random.split(kI, 4)
+    params_stack = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[model.init(k, ff[:8]) for k in keys]
+    )
+    tx = optax.adam(cfg.lr)
+
+    @jax.jit
+    def fit_stack(params_stack):
+        def one(params, target):
+            def step(carry, _):
+                p, o = carry
+                loss, grads = jax.value_and_grad(
+                    lambda p: jnp.mean((model.apply(p, ff) - target) ** 2)
+                )(p)
+                updates, o = tx.update(grads, o)
+                return (optax.apply_updates(p, updates), o), loss
+
+            (p, _), losses = jax.lax.scan(
+                step, (params, tx.init(params)), None, length=cfg.number_of_epochs
+            )
+            return p, losses
+
+        return jax.vmap(one)(params_stack, targets)
+
+    fitted, losses = fit_stack(params_stack)
+
+    test_shape = (sx * 2, sy * 2, S, 4)
+    test_coords = mgrid(test_shape)
+    encode = lambda c: fourier_encode(c, B)
+    recon_hybrid = np.zeros((sx * 2, sy * 2, S, 4, 4), dtype=np.float32)
+    for te in range(4):
+        params_te = jax.tree_util.tree_map(lambda x: x[te], fitted)
+        rec = np.asarray(
+            infer_grid(model.apply, params_te, test_coords, encode, clamp_min=0.0)
+        ).reshape(test_shape)
+        for b in range(4):
+            recon_hybrid[:, :, :, b, te] = rec[:, :, :, b] * maxes[b, te]
+    return HybridResult(recon_hybrid, maxes)
+
+
+def remove_small_objects(mask: np.ndarray, min_size: int = 12) -> np.ndarray:
+    """skimage.morphology.remove_small_objects equivalent (4-connectivity)."""
+    from scipy import ndimage
+
+    labeled, n = ndimage.label(mask, structure=np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]]))
+    if n == 0:
+        return np.zeros_like(mask, dtype=bool)
+    sizes = ndimage.sum_labels(np.ones_like(mask), labeled, index=np.arange(1, n + 1))
+    keep = np.isin(labeled, np.nonzero(sizes >= min_size)[0] + 1)
+    return keep
+
+
+@dataclasses.dataclass
+class SliceMaps:
+    D: np.ndarray  # (H, W, 3)
+    T2: np.ndarray
+    v: np.ndarray
+    adc: np.ndarray  # (H, W)
+    cancer: np.ndarray  # (H, W) bool
+
+
+def tissue_maps(
+    result: HybridResult, bvalues: np.ndarray, _slice: int = 9, nlls_iters: int = 40
+) -> SliceMaps:
+    """Per-slice 3-compartment decomposition + ADC + cancer map
+    (superresHybrid.py:127-186)."""
+    rh = result.recon_hybrid
+    H, W = rh.shape[:2]
+    # normalise by (b0, TE0) x 1000 (superresHybrid.py:130-133)
+    norm = 1000.0 * rh / (rh[:, :, :, 0:1, 0:1] + EPS)
+    signals = norm[:, :, _slice].reshape(H * W, 16)
+    D, T2, v = hybrid_fit(jnp.asarray(signals), iters=nlls_iters)
+    D, T2, v = np.asarray(D), np.asarray(T2), np.asarray(v)
+
+    adc = np.asarray(
+        adc_polyfit(jnp.asarray(bvalues), jnp.asarray(rh[:, :, _slice, :, 0]))
+    )
+    v_ep = v[:, 0].reshape(H, W)
+    v_lu = v[:, 2].reshape(H, W)
+    cancer = remove_small_objects((v_ep > 0.4) & (v_lu <= 0.2), min_size=12)
+    return SliceMaps(
+        D.reshape(H, W, 3), T2.reshape(H, W, 3), v.reshape(H, W, 3), adc, cancer
+    )

@@ -225,24 +225,65 @@ def coronal_recon(
     return np.asarray(rec).reshape(coronal_shape)
 
 
+def export_triplets(
+    results: Sequence[SR3DResult],
+    cfg: SupperresDWIConfig,
+    out_path: str,
+    b_index: int = 3,
+    slice_range: tuple[int, int] = (10, 21),
+) -> str:
+    """Zero-shot LR/GT/SR triplet export — the forbagci.py variant
+    (forbagci.py:160-177): per patient x slice, max-normalised HR reference,
+    its ::2 LR, and the SR reconstruction at b index ``b_index``, saved
+    together as one npz for downstream (external) model benchmarking."""
+    r0, r1 = cfg.roi_start, cfg.roi_end
+    lr_dataset, gt_dataset, zero_shot_sr = [], [], []
+    for result in results:
+        hr_img = result.mean_img[r0:r1, r0:r1]
+        for _slice in range(*slice_range):
+            if _slice >= hr_img.shape[2]:
+                continue
+            hr_ref = hr_img[:, :, _slice, b_index]
+            hr_ref = hr_ref / (hr_ref.max() + 1e-12)
+            sr = result.sr_hr_grid[:, :, _slice, b_index]
+            sr = sr / (sr.max() + 1e-12)
+            gt_dataset.append(hr_ref)
+            lr_dataset.append(hr_ref[::2, ::2])
+            zero_shot_sr.append(sr)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.savez(
+        out_path,
+        lr_dataset=np.asarray(lr_dataset),
+        gt_dataset=np.asarray(gt_dataset),
+        zero_shot_SR=np.asarray(zero_shot_sr),
+    )
+    return out_path
+
+
 def run(
     patients: Sequence[tuple[str | int, object, np.ndarray]],
     cfg: SupperresDWIConfig,
     out_dir: str,
     seed: int = 0,
     save_panels: bool = False,
+    export_npz: bool = False,
 ) -> str:
     """Driver over (pt_id, hybrid_raw, bvalues) tuples; writes
-    ssim_scores.csv per patient like superresDWI.py main()."""
+    ssim_scores.csv per patient like superresDWI.py main(). With
+    ``export_npz`` additionally writes the forbagci-style triplet archive."""
     os.makedirs(out_dir, exist_ok=True)
     inr = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
+    results = []
     for pt_id, hybrid_raw, bvalues in patients:
         pdir = os.path.join(out_dir, f"pat{pt_id}")
         os.makedirs(pdir, exist_ok=True)
         csv = MetricsCSV(os.path.join(pdir, "ssim_scores.csv"), SSIM_HEADER)
         result = run_patient(hybrid_raw, bvalues, cfg, seed=seed, csv=csv, pt_id=pt_id)
+        results.append(result)
         if save_panels:
             _save_panels(result, cfg, pdir)
+    if export_npz:
+        export_triplets(results, cfg, os.path.join(out_dir, "zero_shot_dwi.npz"))
     return out_dir
 
 

@@ -10,3 +10,4 @@ from mri_super_resolution_tpu.utils.checkpoint import (  # noqa: F401
     restore_pytree,
     CheckpointManager,
 )
+from mri_super_resolution_tpu.utils import analysis  # noqa: F401
