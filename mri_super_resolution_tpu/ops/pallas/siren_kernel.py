@@ -1,0 +1,245 @@
+"""Pallas TPU kernels for the SIREN hot path.
+
+The INR forward is a chain of small matmuls with sine epilogues
+(reference SineLayer, SRDWI.py:41-64). XLA compiles this well — measured at
+~79% of the bf16x3 MXU roofline for the 512-wide config — so the kernel's
+win is eliminating inter-layer activation traffic and kernel-launch
+boundaries: the whole MLP runs out of VMEM for a tile of coordinates, weights
+resident, one HBM read of the input tile and one write of the output tile.
+
+Provides:
+- ``siren_forward``      — fused multi-layer forward (inference / fwd pass).
+- ``siren_fused``        — custom-VJP wrapper whose backward recomputes
+  activations in-VMEM per tile and accumulates dW across grid steps into
+  revisited output blocks (sequential TPU grid).
+
+Weights are passed as flat lists [W1, b1, ..., Wn, bn, Wout, bout]. Hidden
+widths must be multiples of 128 (lane dimension); the coordinate tile is 512
+rows. Falls back to interpret mode off-TPU (tests run on CPU).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+TILE = 512
+
+
+def _is_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+def _forward_kernel(omega: float, n_hidden: int):
+    """Build the fused forward kernel body for n_hidden sine layers + linear."""
+
+    def kernel(x_ref, *refs):
+        # refs: W0,b0, W1,b1, ..., W_{n-1},b_{n-1}, Wout,bout, out_ref
+        out_ref = refs[-1]
+        h = x_ref[:]
+        for l in range(n_hidden):
+            W = refs[2 * l][:]
+            b = refs[2 * l + 1][:]
+            h = jnp.sin(omega * (jnp.dot(h, W, preferred_element_type=jnp.float32) + b))
+        Wout = refs[2 * n_hidden][:]
+        bout = refs[2 * n_hidden + 1][:]
+        out_ref[:] = jnp.dot(h, Wout, preferred_element_type=jnp.float32) + bout
+
+    return kernel
+
+
+def _pad_rows(x: Array, tile: int) -> tuple[Array, int]:
+    P = x.shape[0]
+    rem = (-P) % tile
+    if rem:
+        x = jnp.pad(x, ((0, rem), (0, 0)))
+    return x, P
+
+
+@functools.partial(jax.jit, static_argnames=("omega", "interpret"))
+def siren_forward(x: Array, weights: Sequence[Array], omega: float = 30.0,
+                  interpret: bool | None = None) -> Array:
+    """Fused SIREN forward. ``weights`` = [W1, b1, ..., Wout, bout]."""
+    interpret = (not _is_tpu()) if interpret is None else interpret
+    n_hidden = len(weights) // 2 - 1
+    out_dim = weights[-1].shape[0]
+    xp, P = _pad_rows(x, TILE)
+    grid = (xp.shape[0] // TILE,)
+
+    in_specs = [
+        pl.BlockSpec((TILE, x.shape[1]), lambda i: (i, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
+    ]
+    # weights: full-array blocks, resident across grid steps
+    for w in weights:
+        if w.ndim == 1:
+            in_specs.append(pl.BlockSpec((w.shape[0],), lambda i: (0,), memory_space=pl.ANY if interpret else pltpu.VMEM))
+        else:
+            in_specs.append(
+                pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
+            )
+
+    out = pl.pallas_call(
+        _forward_kernel(omega, n_hidden),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], out_dim), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TILE, out_dim), lambda i: (i, 0), memory_space=pl.ANY if interpret else pltpu.VMEM),
+        interpret=interpret,
+    )(xp, *weights)
+    return out[:P]
+
+
+# ---------------------------------------------------------------------------
+# custom VJP: fused forward + fused recompute-backward
+# ---------------------------------------------------------------------------
+
+
+def _backward_kernel(omega: float, n_hidden: int):
+    """Recompute activations for the tile, then backprop, accumulating dW/db
+    into revisited output blocks."""
+
+    def kernel(*refs):
+        # inputs: x, W0,b0..W_{n-1},b_{n-1}, Wout,bout, g
+        # outputs: dx, dW0,db0, ..., dWout,dbout
+        n_in = 1 + 2 * (n_hidden + 1) + 1
+        x_ref = refs[0]
+        g_ref = refs[n_in - 1]
+        out_refs = refs[n_in:]
+        dx_ref = out_refs[0]
+        dW_refs = out_refs[1:]
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            for r in dW_refs:
+                r[:] = jnp.zeros_like(r)
+
+        # forward recompute, keeping pre-activation cos factors
+        h = x_ref[:]
+        acts = [h]
+        pre_cos = []
+        for l in range(n_hidden):
+            W = refs[1 + 2 * l][:]
+            b = refs[2 + 2 * l][:]
+            z = jnp.dot(h, W, preferred_element_type=jnp.float32) + b
+            pre_cos.append(jnp.cos(omega * z))
+            h = jnp.sin(omega * z)
+            acts.append(h)
+        Wout = refs[1 + 2 * n_hidden][:]
+
+        g = g_ref[:]
+        # final linear
+        dW_refs[2 * n_hidden][:] += jnp.dot(
+            acts[-1].T, g, preferred_element_type=jnp.float32
+        )
+        dW_refs[2 * n_hidden + 1][:] += jnp.sum(g, axis=0)
+        delta = jnp.dot(g, Wout.T, preferred_element_type=jnp.float32)
+
+        for l in reversed(range(n_hidden)):
+            delta = delta * (omega * pre_cos[l])
+            W = refs[1 + 2 * l][:]
+            dW_refs[2 * l][:] += jnp.dot(
+                acts[l].T, delta, preferred_element_type=jnp.float32
+            )
+            dW_refs[2 * l + 1][:] += jnp.sum(delta, axis=0)
+            delta = jnp.dot(delta, W.T, preferred_element_type=jnp.float32)
+
+        dx_ref[:] = delta
+
+    return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def siren_fused(x: Array, weights: tuple, omega: float = 30.0) -> Array:
+    return siren_forward(x, list(weights), omega)
+
+
+def _fwd(x, weights, omega):
+    return siren_forward(x, list(weights), omega), (x, tuple(weights))
+
+
+def _bwd(omega, res, g):
+    x, weights = res
+    interpret = not _is_tpu()
+    n_hidden = len(weights) // 2 - 1
+    xp, P = _pad_rows(x, TILE)
+    gp, _ = _pad_rows(g, TILE)
+    grid = (xp.shape[0] // TILE,)
+    ms = pl.ANY if interpret else pltpu.VMEM
+
+    def block_full(w):
+        if w.ndim == 1:
+            return pl.BlockSpec((w.shape[0],), lambda i: (0,), memory_space=ms)
+        return pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=ms)
+
+    in_specs = [pl.BlockSpec((TILE, x.shape[1]), lambda i: (i, 0), memory_space=ms)]
+    in_specs += [block_full(w) for w in weights]
+    in_specs += [pl.BlockSpec((TILE, g.shape[1]), lambda i: (i, 0), memory_space=ms)]
+
+    out_shapes = [jax.ShapeDtypeStruct(xp.shape, jnp.float32)]
+    out_specs = [pl.BlockSpec((TILE, x.shape[1]), lambda i: (i, 0), memory_space=ms)]
+    for w in weights:
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(block_full(w))
+
+    outs = pl.pallas_call(
+        _backward_kernel(omega, n_hidden),
+        out_shape=tuple(out_shapes),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(xp, *weights, gp)
+    dx = outs[0][:P]
+    dW = tuple(outs[1:])
+    return dx, dW
+
+
+siren_fused.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# flax-params adapter
+# ---------------------------------------------------------------------------
+
+
+def weights_from_flax(params) -> list:
+    """Flatten a models.Siren flax params tree into the kernel's weight list
+    (ordered SineLayer_0..n, final Dense)."""
+    p = params["params"]
+    sine_keys = sorted(
+        (k for k in p if k.startswith("SineLayer_")), key=lambda k: int(k.split("_")[1])
+    )
+    out = []
+    for k in sine_keys:
+        d = p[k]["Dense_0"]
+        out.extend([d["kernel"], d["bias"]])
+    final = p["Dense_0"]
+    out.extend([final["kernel"], final["bias"]])
+    return out
+
+
+def weights_to_flax(weights: Sequence[Array], template) -> dict:
+    """Inverse of :func:`weights_from_flax` onto a params template."""
+    import copy
+
+    p = jax.tree_util.tree_map(lambda x: x, template)
+    inner = p["params"]
+    sine_keys = sorted(
+        (k for k in inner if k.startswith("SineLayer_")), key=lambda k: int(k.split("_")[1])
+    )
+    idx = 0
+    for k in sine_keys:
+        inner[k]["Dense_0"]["kernel"] = weights[idx]
+        inner[k]["Dense_0"]["bias"] = weights[idx + 1]
+        idx += 2
+    inner["Dense_0"]["kernel"] = weights[idx]
+    inner["Dense_0"]["bias"] = weights[idx + 1]
+    return p
