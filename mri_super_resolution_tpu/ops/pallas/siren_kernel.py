@@ -29,7 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-TILE = 512
+TILE = 512      # forward coordinate tile
+TILE_BWD = 256  # backward tile: activations+pre-cos+dW accumulators must fit VMEM
 
 
 def _is_tpu() -> bool:
@@ -45,7 +46,7 @@ def _forward_kernel(omega: float, n_hidden: int):
         h = x_ref[:]
         for l in range(n_hidden):
             W = refs[2 * l][:]
-            b = refs[2 * l + 1][:]
+            b = refs[2 * l + 1][:]  # (1, n) — biases are kept 2-D in-kernel
             h = jnp.sin(omega * (jnp.dot(h, W, preferred_element_type=jnp.float32) + b))
         Wout = refs[2 * n_hidden][:]
         bout = refs[2 * n_hidden + 1][:]
@@ -68,28 +69,23 @@ def siren_forward(x: Array, weights: Sequence[Array], omega: float = 30.0,
     """Fused SIREN forward. ``weights`` = [W1, b1, ..., Wout, bout]."""
     interpret = (not _is_tpu()) if interpret is None else interpret
     n_hidden = len(weights) // 2 - 1
-    out_dim = weights[-1].shape[0]
+    # biases travel as (1, n) blocks — 1-D refs are fragile on TPU Pallas
+    weights = [w[None, :] if w.ndim == 1 else w for w in weights]
+    out_dim = weights[-1].shape[-1]
     xp, P = _pad_rows(x, TILE)
     grid = (xp.shape[0] // TILE,)
 
-    in_specs = [
-        pl.BlockSpec((TILE, x.shape[1]), lambda i: (i, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
-    ]
+    ms = pl.ANY if interpret else pltpu.VMEM
+    in_specs = [pl.BlockSpec((TILE, x.shape[1]), lambda i: (i, 0), memory_space=ms)]
     # weights: full-array blocks, resident across grid steps
-    for w in weights:
-        if w.ndim == 1:
-            in_specs.append(pl.BlockSpec((w.shape[0],), lambda i: (0,), memory_space=pl.ANY if interpret else pltpu.VMEM))
-        else:
-            in_specs.append(
-                pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pl.ANY if interpret else pltpu.VMEM)
-            )
+    in_specs += [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=ms) for w in weights]
 
     out = pl.pallas_call(
         _forward_kernel(omega, n_hidden),
         out_shape=jax.ShapeDtypeStruct((xp.shape[0], out_dim), jnp.float32),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((TILE, out_dim), lambda i: (i, 0), memory_space=pl.ANY if interpret else pltpu.VMEM),
+        out_specs=pl.BlockSpec((TILE, out_dim), lambda i: (i, 0), memory_space=ms),
         interpret=interpret,
     )(xp, *weights)
     return out[:P]
@@ -139,7 +135,7 @@ def _backward_kernel(omega: float, n_hidden: int):
         dW_refs[2 * n_hidden][:] += jnp.dot(
             acts[-1].T, g, preferred_element_type=jnp.float32
         )
-        dW_refs[2 * n_hidden + 1][:] += jnp.sum(g, axis=0)
+        dW_refs[2 * n_hidden + 1][:] += jnp.sum(g, axis=0, keepdims=True)
         delta = jnp.dot(g, Wout.T, preferred_element_type=jnp.float32)
 
         for l in reversed(range(n_hidden)):
@@ -148,7 +144,7 @@ def _backward_kernel(omega: float, n_hidden: int):
             dW_refs[2 * l][:] += jnp.dot(
                 acts[l].T, delta, preferred_element_type=jnp.float32
             )
-            dW_refs[2 * l + 1][:] += jnp.sum(delta, axis=0)
+            dW_refs[2 * l + 1][:] += jnp.sum(delta, axis=0, keepdims=True)
             delta = jnp.dot(delta, W.T, preferred_element_type=jnp.float32)
 
         dx_ref[:] = delta
@@ -169,22 +165,22 @@ def _bwd(omega, res, g):
     x, weights = res
     interpret = not _is_tpu()
     n_hidden = len(weights) // 2 - 1
-    xp, P = _pad_rows(x, TILE)
-    gp, _ = _pad_rows(g, TILE)
-    grid = (xp.shape[0] // TILE,)
+    orig_ndims = [w.ndim for w in weights]
+    weights = [w[None, :] if w.ndim == 1 else w for w in weights]
+    xp, P = _pad_rows(x, TILE_BWD)
+    gp, _ = _pad_rows(g, TILE_BWD)
+    grid = (xp.shape[0] // TILE_BWD,)
     ms = pl.ANY if interpret else pltpu.VMEM
 
     def block_full(w):
-        if w.ndim == 1:
-            return pl.BlockSpec((w.shape[0],), lambda i: (0,), memory_space=ms)
         return pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=ms)
 
-    in_specs = [pl.BlockSpec((TILE, x.shape[1]), lambda i: (i, 0), memory_space=ms)]
+    in_specs = [pl.BlockSpec((TILE_BWD, x.shape[1]), lambda i: (i, 0), memory_space=ms)]
     in_specs += [block_full(w) for w in weights]
-    in_specs += [pl.BlockSpec((TILE, g.shape[1]), lambda i: (i, 0), memory_space=ms)]
+    in_specs += [pl.BlockSpec((TILE_BWD, g.shape[1]), lambda i: (i, 0), memory_space=ms)]
 
     out_shapes = [jax.ShapeDtypeStruct(xp.shape, jnp.float32)]
-    out_specs = [pl.BlockSpec((TILE, x.shape[1]), lambda i: (i, 0), memory_space=ms)]
+    out_specs = [pl.BlockSpec((TILE_BWD, x.shape[1]), lambda i: (i, 0), memory_space=ms)]
     for w in weights:
         out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
         out_specs.append(block_full(w))
@@ -198,7 +194,9 @@ def _bwd(omega, res, g):
         interpret=interpret,
     )(xp, *weights, gp)
     dx = outs[0][:P]
-    dW = tuple(outs[1:])
+    dW = tuple(
+        d[0] if nd == 1 else d for d, nd in zip(outs[1:], orig_ndims)
+    )
     return dx, dW
 
 
@@ -243,3 +241,20 @@ def weights_to_flax(weights: Sequence[Array], template) -> dict:
     inner["Dense_0"]["kernel"] = weights[idx]
     inner["Dense_0"]["bias"] = weights[idx + 1]
     return p
+
+
+def make_fused_apply(model) -> "callable":
+    """Adapter: an ``apply(params, x)`` for a plain ``models.Siren`` that runs
+    through the fused Pallas kernel (drop-in for the fit-engine's apply_fn).
+
+    Gradients flow through the flax->flat weight reindexing, so
+    ``jax.grad`` over params hits the kernel's custom VJP. Only valid for the
+    plain Siren topology (SineLayer stack + final Dense).
+    """
+    omega = float(model.hidden_omega_0)
+
+    def apply(params, x):
+        ws = tuple(weights_from_flax(params))
+        return siren_fused(x, ws, omega)
+
+    return apply

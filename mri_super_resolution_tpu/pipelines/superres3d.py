@@ -112,8 +112,16 @@ def run_patient(
     inr_params = inr.init(kI, ff[:8])
     pn_params = pn.init(kP, ff[:8], 0, 0.0)
 
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if cfg.use_pallas and on_tpu:
+        from mri_super_resolution_tpu.ops.pallas.siren_kernel import make_fused_apply
+
+        inr_apply = make_fused_apply(inr)
+    else:
+        inr_apply = inr.apply
+
     res = fit_alternating_pn(
-        inr.apply,
+        inr_apply,
         pn.apply,
         optax.adam(cfg.inr_lr),
         optax.adam(cfg.pn_lr),
@@ -133,10 +141,10 @@ def run_patient(
     test_shape = (hr_shape[0] * 2, hr_shape[1] * 2, hr_shape[2], hr_shape[3])
     encode = lambda c: fourier_encode(c, B)
     recon = np.asarray(
-        infer_grid(inr.apply, res.inr_params, mgrid(test_shape), encode, clamp_min=0.0)
+        infer_grid(inr_apply, res.inr_params, mgrid(test_shape), encode, clamp_min=0.0)
     ).reshape(test_shape)
     sr_hr = np.asarray(
-        infer_grid(inr.apply, res.inr_params, mgrid(hr_shape), encode, clamp_min=0.0)
+        infer_grid(inr_apply, res.inr_params, mgrid(hr_shape), encode, clamp_min=0.0)
     ).reshape(hr_shape)
 
     # SSIM protocol (superresDWI.py:179-187)
