@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Train the RAMS multi-image SR network on DWI acquisitions.
+
+The reference ships the Trainer class (multi-image-super-resolution/utils/
+training.py) but no training driver (it was run from an undistributed
+notebook against the PROBA-V dataset). This CLI builds a DWI training set —
+HR patches from the mean-b0 volumes, LR stacks of shifted noisy synthetic
+acquisitions at 1/scale resolution — and runs the Trainer end-to-end with
+shift-tolerant L1 and cPSNR checkpointing.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from mri_super_resolution_tpu.config import RAMSConfig, TrainerConfig
+from mri_super_resolution_tpu.data import available_patients, load_mat
+from mri_super_resolution_tpu.data.preprocessing import gen_sub
+from mri_super_resolution_tpu.fit.trainer import Trainer
+from mri_super_resolution_tpu.pipelines.misr import build_rams
+
+
+def build_dataset(
+    hr_size: int = 96, T: int = 9, limit_patients: int | None = None,
+    patches_per_slice: int = 4, seed: int = 0, scale: int = 3,
+):
+    """HR patches + simulated LR acquisition stacks from the anon volumes.
+
+    HR: 96x96 crops of mean-b0 slices scaled to the uint16 range (x256, as
+    the MISR inference driver does — multi-image-super-resolution/
+    master.py:42-43). LR: 3x-downsampled crops with T shifted Rician-noisy
+    copies (the acquisition model of data/synthetic.py).
+    """
+    from mri_super_resolution_tpu.data import synthetic
+
+    rng = np.random.default_rng(seed)
+    data_dir = os.environ.get("MRI_SR_DATA_DIR", "/root/reference/anon_data")
+    lr_size = hr_size // scale
+
+    X, Y = [], []
+    rows = available_patients(data_dir)[:limit_patients]
+    for row in rows:
+        pt_no = row["pt_id"].split("-")[-1]
+        vol = np.asarray(
+            load_mat(os.path.join(data_dir, f"pat{pt_no}_mean_b0.mat"), "data_mean_b0"),
+            dtype=np.float32,
+        )
+        H, W, S = vol.shape
+        for s in range(4, S - 4, 2):
+            img = vol[:, :, s] * 256.0
+            for _ in range(patches_per_slice):
+                y0 = rng.integers(0, H - hr_size)
+                x0 = rng.integers(0, W - hr_size)
+                hr = img[y0 : y0 + hr_size, x0 : x0 + hr_size]
+                if hr.mean() < 10.0:  # skip empty background patches
+                    continue
+                # LR: block-average downsample then T noisy shifted copies
+                lr_base = hr.reshape(lr_size, scale, lr_size, scale).mean((1, 3))
+                stack = synthetic.acquisitions_from_b0(
+                    lr_base[:, :, None] / 256.0, num_acq=T,
+                    seed=int(rng.integers(1 << 31)), noise_sigma_frac=0.02,
+                    outlier_prob=0.0,
+                )[:, :, 0, :] * 256.0
+                X.append(stack.astype(np.float32))
+                Y.append(hr[..., None].astype(np.float32))
+    X = np.stack(X)
+    Y = np.stack(Y)
+    masks = np.ones_like(Y)
+    return X, Y, masks
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--hr_size", type=int, default=96)
+    p.add_argument("--filters", type=int, default=32)
+    p.add_argument("--N", type=int, default=12)
+    p.add_argument("--limit_patients", type=int, default=None)
+    p.add_argument("--patches_per_slice", type=int, default=4)
+    p.add_argument("--evaluate_every", type=int, default=20)
+    p.add_argument("--ckpt_dir", default="artifacts/rams_dwi")
+    p.add_argument("--data_aug", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    X, Y, M = build_dataset(
+        hr_size=args.hr_size, limit_patients=args.limit_patients,
+        patches_per_slice=args.patches_per_slice, seed=args.seed,
+    )
+    n_val = max(args.batch_size, len(X) // 10)
+    Xt, Yt, Mt = X[n_val:], Y[n_val:], M[n_val:]
+    Xv, Yv, Mv = X[:n_val], Y[:n_val], M[:n_val]
+    print(f"dataset: {len(Xt)} train / {len(Xv)} val patches, LR {Xt.shape[1:]} HR {Yt.shape[1:]}")
+
+    model = build_rams(RAMSConfig(filters=args.filters, N=args.N))
+    cfg = TrainerConfig(
+        batch_size=args.batch_size, epochs=args.epochs, hr_size=args.hr_size,
+        evaluate_every=args.evaluate_every, checkpoint_dir=os.path.abspath(args.ckpt_dir),
+        data_aug=args.data_aug,
+    )
+    trainer = Trainer(model, cfg)
+    trainer.init(Xt, seed=args.seed)
+    trainer.fit(Xt, (Yt, Mt), validation_data=(Xv, Yv, Mv), seed=args.seed)
+    val_psnr = trainer.evaluate(Xv, Yv, Mv)
+    print(f"final val cPSNR: {val_psnr:.2f} dB; checkpoints in {cfg.checkpoint_dir}")
+
+
+if __name__ == "__main__":
+    main()
