@@ -14,6 +14,7 @@ Reference equivalents:
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -36,6 +37,7 @@ class ContrastMetrics(NamedTuple):
     CNR2: Array
 
 
+@functools.partial(jax.jit, static_argnames=("cancer_loc", "contralateral_loc", "noise_loc", "scale", "focus"))
 def contrast_cnr(
     image: Array,
     cancer_loc: tuple[int, int],
@@ -76,6 +78,7 @@ class CNRSNRMetrics(NamedTuple):
     CR: Array
 
 
+@functools.partial(jax.jit, static_argnames=("cancer_loc", "contralateral_loc", "noise_loc"))
 def cnr_snr_log10(
     image: Array,
     cancer_loc: tuple[int, int],
@@ -109,6 +112,7 @@ def _uniform_filter(x: Array, win: int) -> Array:
     return x
 
 
+@functools.partial(jax.jit, static_argnames=("data_range", "win_size"))
 def ssim(
     im1: Array, im2: Array, data_range: float = 1.0, win_size: int = 7
 ) -> Array:
@@ -142,12 +146,14 @@ def ssim(
     return S.mean()
 
 
+@functools.partial(jax.jit, static_argnames=("data_range",))
 def psnr(im1: Array, im2: Array, data_range: float = 1.0) -> Array:
     """Peak signal-to-noise ratio (skimage ``peak_signal_noise_ratio``)."""
     mse = jnp.mean((im1.astype(jnp.float32) - im2.astype(jnp.float32)) ** 2)
     return 10.0 * jnp.log10((data_range**2) / mse)
 
 
+@functools.partial(jax.jit, static_argnames=("mask_thresh", "data_range"))
 def masked_ssim_protocol(
     hr: Array, other: Array, mask_thresh: float = 0.05, data_range: float = 1.0
 ) -> Array:

@@ -147,20 +147,39 @@ def run_patient(
         infer_grid(inr_apply, res.inr_params, mgrid(hr_shape), encode, clamp_min=0.0)
     ).reshape(hr_shape)
 
-    # SSIM protocol (superresDWI.py:179-187)
+    # SSIM protocol (superresDWI.py:179-187) — the whole (slice x b) table is
+    # one vmapped program: eager per-pair evaluation dispatches hundreds of
+    # tiny ops through the device tunnel and dominates wall-clock otherwise.
+    @jax.jit
+    def ssim_table(hr_vol, sr_vol):
+        hrs = jnp.moveaxis(hr_vol, (2, 3), (0, 1)).reshape(-1, *hr_vol.shape[:2])
+        srs = jnp.moveaxis(sr_vol, (2, 3), (0, 1)).reshape(-1, *sr_vol.shape[:2])
+
+        def one(hr_im, sr_im):
+            hr_ref = max_normalize(hr_im)
+            spline = max_normalize(rescale(hr_im[::2, ::2], 2, anti_aliasing=True))
+            sr_n = max_normalize(sr_im)
+            return (
+                masked_ssim_protocol(hr_ref, spline),
+                masked_ssim_protocol(hr_ref, sr_n),
+            )
+
+        return jax.vmap(one)(hrs, srs)
+
+    ssim_sp, ssim_sr = (
+        np.asarray(x)
+        for x in ssim_table(jnp.asarray(hr_mean), jnp.asarray(sr_hr))
+    )
     ssim_rows = []
     for _slice in range(mean_img.shape[2]):
         for b in range(4):
-            hr_ref = max_normalize(jnp.asarray(hr_mean[:, :, _slice, b]))
-            spline = rescale(jnp.asarray(hr_mean[::2, ::2, _slice, b]), 2, anti_aliasing=True)
-            spline = max_normalize(spline)
-            sr = max_normalize(jnp.asarray(sr_hr[:, :, _slice, b]))
+            idx = _slice * 4 + b
             row = (
                 pt_id,
                 float(bvalues[b]),
                 _slice,
-                float(masked_ssim_protocol(hr_ref, spline)),
-                float(masked_ssim_protocol(hr_ref, sr)),
+                float(ssim_sp[idx]),
+                float(ssim_sr[idx]),
             )
             ssim_rows.append(row)
             if csv is not None:
