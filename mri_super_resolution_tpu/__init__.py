@@ -17,4 +17,32 @@ jax.sharding meshes for multi-chip data/cohort parallelism.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persist compiled XLA/Mosaic executables across processes.
+
+    The pipelines' big scanned programs take minutes to compile through the
+    tunnelled TPU backend; with the persistent cache a rerun with identical
+    shapes loads instantly. Opt out with MRI_SR_NO_COMPILE_CACHE=1.
+    """
+    if _os.environ.get("MRI_SR_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/mri_sr_tpu_xla"),
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
 from mri_super_resolution_tpu import core, data, models, ops, fit, parallel, utils  # noqa: F401
