@@ -17,3 +17,4 @@ from mri_super_resolution_tpu.models.pia import (  # noqa: F401
     synthetic_batch,
 )
 from mri_super_resolution_tpu.models.rams import RAMS  # noqa: F401
+from mri_super_resolution_tpu.models.grid_inr import GridINR, GridINR2D  # noqa: F401

@@ -1,0 +1,138 @@
+"""Multiresolution dense-grid INR — a fast-converging alternative to FF-SIREN.
+
+Technique (public literature; see PAPERS.md): "Instant Neural Graphics
+Primitives" (Mueller et al. 2022) replaces frequency encodings with learned
+multiresolution feature grids + a tiny MLP, converging orders of magnitude
+faster on fitting tasks. At DWI volume sizes the hash table is unnecessary —
+dense grids fit comfortably in HBM — and dense grids are the TPU-friendly
+variant anyway (gathers over small dense tables, no hash collisions, static
+shapes).
+
+Design for the (x, y, z, b) DWI domain:
+- L resolution levels of dense 3-D feature grids over (x, y, z), resolution
+  growing geometrically; F features per level, trilinearly interpolated;
+- the b axis is categorical (4 values): a per-b learned embedding is
+  concatenated (diffusion decay is smooth in b but only 4 samples exist —
+  an embedding is strictly more expressive than interpolating a 4-point axis);
+- a small ReLU MLP head maps concatenated level features -> intensity.
+
+This is an *addition* to the reference's model zoo (SIREN/WIRE/FF are all
+implemented for parity); use it where wall-clock-to-quality matters.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _trilinear_gather(grid: Array, coords01: Array) -> Array:
+    """Trilinearly interpolate a dense (R1, R2, R3, F) grid at (N, 3) coords
+    in [0, 1]^3."""
+    R = jnp.asarray(grid.shape[:3], dtype=coords01.dtype)
+    pos = coords01 * (R - 1.0)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    lo = jnp.clip(lo, 0, jnp.asarray(grid.shape[:3]) - 2)
+    frac = pos - lo.astype(coords01.dtype)
+
+    def corner(dx, dy, dz):
+        idx = lo + jnp.asarray([dx, dy, dz])
+        w = (
+            (frac[:, 0] if dx else 1 - frac[:, 0])
+            * (frac[:, 1] if dy else 1 - frac[:, 1])
+            * (frac[:, 2] if dz else 1 - frac[:, 2])
+        )
+        vals = grid[idx[:, 0], idx[:, 1], idx[:, 2]]
+        return w[:, None] * vals
+
+    out = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                out = out + corner(dx, dy, dz)
+    return out
+
+
+class GridINR(nn.Module):
+    """Multires dense-grid INR over [-1, 1]^3 x {0..num_b-1}.
+
+    Call with (N, 4) coords whose first 3 dims are continuous in [-1, 1] and
+    whose 4th is the (continuous, as produced by mgrid) b-axis coordinate —
+    it is snapped to the nearest of ``num_b`` embedding slots.
+    """
+
+    num_levels: int = 4
+    base_resolution: int = 8
+    growth: float = 2.0
+    features_per_level: int = 4
+    num_b: int = 4
+    b_features: int = 8
+    hidden: int = 64
+    out_features: int = 1
+
+    @nn.compact
+    def __call__(self, coords: Array) -> Array:
+        xyz01 = jnp.clip((coords[:, :3] + 1.0) * 0.5, 0.0, 1.0)
+        # b coordinate in [-1, 1] -> slot index
+        b_idx = jnp.round((coords[:, 3] + 1.0) * 0.5 * (self.num_b - 1)).astype(jnp.int32)
+        b_idx = jnp.clip(b_idx, 0, self.num_b - 1)
+
+        feats = []
+        for l in range(self.num_levels):
+            R = int(round(self.base_resolution * self.growth**l))
+            grid = self.param(
+                f"grid_{l}",
+                nn.initializers.uniform(scale=1e-4),
+                (R, R, max(R // 4, 2), self.features_per_level),
+            )
+            feats.append(_trilinear_gather(grid, xyz01))
+        b_emb = self.param(
+            "b_embedding", nn.initializers.normal(1e-2), (self.num_b, self.b_features)
+        )
+        feats.append(b_emb[b_idx])
+
+        h = jnp.concatenate(feats, axis=-1)
+        h = nn.Dense(self.hidden)(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.hidden)(h)
+        h = nn.relu(h)
+        return nn.Dense(self.out_features)(h)
+
+
+class GridINR2D(nn.Module):
+    """2-D variant for slice fitting (bilinear grids, no b axis)."""
+
+    num_levels: int = 4
+    base_resolution: int = 8
+    growth: float = 2.0
+    features_per_level: int = 4
+    hidden: int = 64
+    out_features: int = 1
+
+    @nn.compact
+    def __call__(self, coords: Array) -> Array:
+        xy01 = jnp.clip((coords + 1.0) * 0.5, 0.0, 1.0)
+        feats = []
+        for l in range(self.num_levels):
+            R = int(round(self.base_resolution * self.growth**l))
+            grid = self.param(
+                f"grid_{l}",
+                nn.initializers.uniform(scale=1e-4),
+                (R, R, self.features_per_level),
+            )
+            # bilinear via the trilinear helper with a duplicated z plane
+            # (z resolution must be >= 2 for the corner clipping)
+            g3 = jnp.concatenate([grid[:, :, None, :]] * 2, axis=2)
+            c3 = jnp.concatenate([xy01, jnp.zeros_like(xy01[:, :1])], axis=-1)
+            feats.append(_trilinear_gather(g3, c3))
+        h = jnp.concatenate(feats, axis=-1)
+        h = nn.Dense(self.hidden)(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.hidden)(h)
+        h = nn.relu(h)
+        return nn.Dense(self.out_features)(h)
