@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 from typing import Any
 
+import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -28,9 +29,22 @@ def save_pytree(path: str, tree: Any) -> None:
 
 
 def restore_pytree(path: str, target: Any | None = None) -> Any:
+    """Restore a pytree saved with :func:`save_pytree`.
+
+    Without a target, leaves come back as host numpy arrays — device-agnostic,
+    so checkpoints written under one backend (e.g. CPU) restore under another
+    (e.g. the TPU) without sharding-metadata conflicts.
+    """
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target)
+    if target is not None:
+        return ocp.StandardCheckpointer().restore(path, target)
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata
+    tree = meta.tree if hasattr(meta, "tree") else meta
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+    )
+    return ckptr.restore(path, restore_args=restore_args)
 
 
 class CheckpointManager:
