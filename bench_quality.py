@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Time-to-PSNR benchmark: wall-clock to reach fit-quality targets on the
+flagship 3-D volume workload (BASELINE.json north-star metric #2).
+
+Fits the LR ROI volume of a (synthesised) pat07 hybrid with:
+  - the reference architecture (FF-SIREN 2*128 -> 512x3, Adam 1e-4), and
+  - the GridINR multiresolution dense-grid model (this framework's addition),
+recording wall-clock (compile excluded) to cross PSNR thresholds.
+
+Prints one JSON line per model.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+TARGETS = (30.0, 35.0, 40.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=100, help="steps per timing chunk")
+    ap.add_argument("--max_steps", type=int, default=3000)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    if args.quick:
+        args.max_steps = 400
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mri_super_resolution_tpu.core.coords import fourier_matrix, fourier_encode, mgrid
+    from mri_super_resolution_tpu.data import load_mat, synthetic
+    from mri_super_resolution_tpu.fit.engine import fit_simple
+    from mri_super_resolution_tpu.models import Siren, GridINR
+    from mri_super_resolution_tpu.ops.pallas.siren_kernel import make_fused_apply
+
+    # workload: LR ROI volume mean of synthesized pat07 hybrid
+    data_dir = os.environ.get("MRI_SR_DATA_DIR", "/root/reference/anon_data")
+    b0_path = os.path.join(data_dir, "pat07_mean_b0.mat")
+    if os.path.exists(b0_path):
+        b0 = np.asarray(load_mat(b0_path, "data_mean_b0"), dtype=np.float32)
+    else:
+        b0 = np.abs(np.random.default_rng(0).normal(1, 0.3, (128, 128, 28))).astype(np.float32)
+    hybrid = synthetic.hybrid_from_b0(b0, seed=7)
+    from mri_super_resolution_tpu.pipelines.superres3d import normalize_hybrid
+    from mri_super_resolution_tpu.data import expand_from_hybrid
+
+    normed, _ = normalize_hybrid(hybrid)
+    mean_img = np.asarray(expand_from_hybrid(normed, te=0)).mean(-1)
+    lr = mean_img[40:90:2, 40:90:2]  # (25, 25, S, 4)
+    target = jnp.asarray(lr.reshape(-1, 1))
+    coords = mgrid(lr.shape)
+    data_range = float(lr.max() - lr.min())
+
+    def run_model(name, apply_fn, params, tx):
+        results = {}
+        elapsed = 0.0
+        done = 0
+        # compile chunk once
+        warm = fit_simple(apply_fn, tx, jax.tree.map(jnp.copy, params), inputs, target, args.chunk)
+        jax.device_get(warm.losses)
+        p = params
+        while done < args.max_steps:
+            t0 = time.perf_counter()
+            res = fit_simple(apply_fn, tx, p, inputs, target, args.chunk)
+            loss = float(jax.device_get(res.losses[-1]))
+            elapsed += time.perf_counter() - t0
+            p = res.params
+            done += args.chunk
+            psnr = 10.0 * np.log10(data_range**2 / loss)
+            for t in TARGETS:
+                if t not in results and psnr >= t:
+                    results[t] = (elapsed, done)
+        row = {
+            "metric": f"time_to_psnr_{name}",
+            "unit": "seconds",
+            "targets": {
+                str(t): {"seconds": round(v[0], 2), "steps": v[1]}
+                for t, v in results.items()
+            },
+            "final_psnr": round(psnr, 2),
+            "steps": done,
+        }
+        print(json.dumps(row))
+        return row
+
+    key = jax.random.key(0)
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    # FF-SIREN (reference architecture) with the fused kernel
+    B = fourier_matrix(key, 128, 4, 0.5)
+    inputs = fourier_encode(coords, B)
+    siren = Siren(hidden_features=512, hidden_layers=3)
+    sp = siren.init(key, inputs[:8])
+    apply_fn = make_fused_apply(siren) if on_tpu else siren.apply
+    run_model("ff_siren", apply_fn, sp, optax.adam(1e-4))
+
+    # GridINR on raw coords
+    inputs = coords
+    grid = GridINR(num_levels=4, base_resolution=6, growth=2.0, hidden=64)
+    gp = grid.init(key, coords[:8])
+    run_model("grid_inr", grid.apply, gp, optax.adam(5e-3))
+
+
+if __name__ == "__main__":
+    main()
