@@ -24,3 +24,4 @@ from mri_super_resolution_tpu.core.normalize import (  # noqa: F401
     max_normalize,
     rayleigh_noise_std,
 )
+from mri_super_resolution_tpu.core.autodiff import gradient, divergence, laplace  # noqa: F401
