@@ -16,8 +16,12 @@ test-fast:
 bench:
 	python bench.py
 
-asan-check: native/mri_io.cpp
-	g++ -O1 -g -fsanitize=address -std=c++17 -DASAN_SMOKE native/mri_io.cpp \
-	  -lz -lpthread -shared -fPIC -o /tmp/libmri_io_asan.so && echo "ASan build OK"
+asan-check: native/mri_io.cpp native/test_load.cpp
+	g++ -O1 -g -fsanitize=address -std=c++17 native/test_load.cpp \
+	  native/mri_io.cpp -lz -lpthread -o /tmp/mri_io_asan && /tmp/mri_io_asan
 
-.PHONY: native test test-fast bench asan-check
+tsan-check: native/mri_io.cpp native/test_pool_stress.cpp
+	g++ -O1 -g -fsanitize=thread -std=c++17 native/test_pool_stress.cpp \
+	  native/mri_io.cpp -lz -lpthread -o /tmp/mri_io_tsan && /tmp/mri_io_tsan
+
+.PHONY: native test test-fast bench asan-check tsan-check

@@ -170,11 +170,19 @@ class Trainer:
                 if cfg.data_aug:
                     kaug, k = jax.random.split(kaug)
                     lr_b, hr_b, m_b = _augment_batch(k, lr_b, hr_b, m_b)
-                state.params, state.opt_state, loss, psnr = self._train_step(
+                new_params, new_opt, loss, psnr = self._train_step(
                     state.params, state.opt_state, lr_b, hr_b, m_b
                 )
+                loss_f = float(loss)
+                if not np.isfinite(loss_f):
+                    # failure detection: a NaN/inf batch must not poison the
+                    # params (the INR side's analog is the restart-on-collapse
+                    # guard, INR_ERD.py:211-217); skip the update and continue
+                    print(f"step {state.step}: non-finite loss, batch skipped")
+                    continue
+                state.params, state.opt_state = new_params, new_opt
                 state.step += 1
-                train_loss.append(float(loss))
+                train_loss.append(loss_f)
                 train_psnr.append(float(psnr))
 
                 if validation_data is not None and state.step % cfg.evaluate_every == 0:
