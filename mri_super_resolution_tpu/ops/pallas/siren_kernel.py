@@ -29,15 +29,56 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-TILE = 512      # forward coordinate tile
-TILE_BWD = 256  # backward tile: activations+pre-cos+dW accumulators must fit VMEM
+TILE = 512      # forward coordinate tile (1024+ exceeds the VMEM budget:
+                # Mosaic stack-allocates the per-layer intermediates)
+TILE_BWD = 512  # backward tile: activations+pre-cos (stashed bf16)+dW
+                # accumulators must fit the 16MB VMEM budget
 
 
 def _is_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-def _forward_kernel(omega: float, n_hidden: int):
+def _dot(a, b, compute_dtype):
+    """Matmul with optional bf16 inputs; accumulation always f32.
+
+    bf16 inputs run the MXU single-pass (~3x the f32-emulation rate);
+    measured convergence on the flagship fit is within noise of f32 — but
+    f32 stays the default out of caution for <2e-5 loss thresholds.
+    (Measured: the kernel is not MXU-bound at these shapes, so bf16 compute
+    changes step time by <2%; the option is kept for larger widths.)
+    """
+    if compute_dtype is not None:
+        a = a.astype(compute_dtype)
+        b = b.astype(compute_dtype)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dot_ta(a, b, compute_dtype):
+    """a^T @ b without materialising the transpose: contract rows with rows.
+
+    (P, M)^T @ (P, N) -> (M, N) via dot_general contracting dim 0 vs dim 0 —
+    Mosaic feeds the MXU directly instead of a VPU transpose + matmul.
+    """
+    if compute_dtype is not None:
+        a = a.astype(compute_dtype)
+        b = b.astype(compute_dtype)
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_tb(a, b, compute_dtype):
+    """a @ b^T: (P, N) @ (M, N)^T -> (P, M), contracting dim 1 vs dim 1."""
+    if compute_dtype is not None:
+        a = a.astype(compute_dtype)
+        b = b.astype(compute_dtype)
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _forward_kernel(omega: float, n_hidden: int, compute_dtype=None):
     """Build the fused forward kernel body for n_hidden sine layers + linear."""
 
     def kernel(x_ref, *refs):
@@ -47,10 +88,10 @@ def _forward_kernel(omega: float, n_hidden: int):
         for l in range(n_hidden):
             W = refs[2 * l][:]
             b = refs[2 * l + 1][:]  # (1, n) — biases are kept 2-D in-kernel
-            h = jnp.sin(omega * (jnp.dot(h, W, preferred_element_type=jnp.float32) + b))
+            h = jnp.sin(omega * (_dot(h, W, compute_dtype) + b))
         Wout = refs[2 * n_hidden][:]
         bout = refs[2 * n_hidden + 1][:]
-        out_ref[:] = jnp.dot(h, Wout, preferred_element_type=jnp.float32) + bout
+        out_ref[:] = _dot(h, Wout, compute_dtype) + bout
 
     return kernel
 
@@ -63,9 +104,9 @@ def _pad_rows(x: Array, tile: int) -> tuple[Array, int]:
     return x, P
 
 
-@functools.partial(jax.jit, static_argnames=("omega", "interpret"))
+@functools.partial(jax.jit, static_argnames=("omega", "interpret", "compute_dtype"))
 def siren_forward(x: Array, weights: Sequence[Array], omega: float = 30.0,
-                  interpret: bool | None = None) -> Array:
+                  interpret: bool | None = None, compute_dtype=None) -> Array:
     """Fused SIREN forward. ``weights`` = [W1, b1, ..., Wout, bout]."""
     interpret = (not _is_tpu()) if interpret is None else interpret
     n_hidden = len(weights) // 2 - 1
@@ -81,7 +122,7 @@ def siren_forward(x: Array, weights: Sequence[Array], omega: float = 30.0,
     in_specs += [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=ms) for w in weights]
 
     out = pl.pallas_call(
-        _forward_kernel(omega, n_hidden),
+        _forward_kernel(omega, n_hidden, compute_dtype),
         out_shape=jax.ShapeDtypeStruct((xp.shape[0], out_dim), jnp.float32),
         grid=grid,
         in_specs=in_specs,
@@ -96,7 +137,7 @@ def siren_forward(x: Array, weights: Sequence[Array], omega: float = 30.0,
 # ---------------------------------------------------------------------------
 
 
-def _backward_kernel(omega: float, n_hidden: int):
+def _backward_kernel(omega: float, n_hidden: int, compute_dtype=None):
     """Recompute activations for the tile, then backprop, accumulating dW/db
     into revisited output blocks."""
 
@@ -119,49 +160,51 @@ def _backward_kernel(omega: float, n_hidden: int):
 
         # forward recompute, keeping pre-activation cos factors
         h = x_ref[:]
-        acts = [h]
+        # activations/cos factors stashed in bf16: halves the VMEM working
+        # set (tile 512 instead of 256); dW error class matches bf16-compute,
+        # measured within noise of f32 on the flagship fit
+        acts = [h.astype(jnp.bfloat16)]
         pre_cos = []
         for l in range(n_hidden):
             W = refs[1 + 2 * l][:]
             b = refs[2 + 2 * l][:]
-            z = jnp.dot(h, W, preferred_element_type=jnp.float32) + b
-            pre_cos.append(jnp.cos(omega * z))
+            z = _dot(h, W, compute_dtype) + b
+            pre_cos.append(jnp.cos(omega * z).astype(jnp.bfloat16))
             h = jnp.sin(omega * z)
-            acts.append(h)
+            acts.append(h.astype(jnp.bfloat16))
         Wout = refs[1 + 2 * n_hidden][:]
 
         g = g_ref[:]
         # final linear
-        dW_refs[2 * n_hidden][:] += jnp.dot(
-            acts[-1].T, g, preferred_element_type=jnp.float32
-        )
+        dW_refs[2 * n_hidden][:] += _dot_ta(acts[-1].astype(jnp.float32), g, compute_dtype)
         dW_refs[2 * n_hidden + 1][:] += jnp.sum(g, axis=0, keepdims=True)
-        delta = jnp.dot(g, Wout.T, preferred_element_type=jnp.float32)
+        delta = _dot_tb(g, Wout, compute_dtype)
 
         for l in reversed(range(n_hidden)):
-            delta = delta * (omega * pre_cos[l])
+            delta = delta * (omega * pre_cos[l].astype(jnp.float32))
             W = refs[1 + 2 * l][:]
-            dW_refs[2 * l][:] += jnp.dot(
-                acts[l].T, delta, preferred_element_type=jnp.float32
-            )
+            dW_refs[2 * l][:] += _dot_ta(acts[l].astype(jnp.float32), delta, compute_dtype)
             dW_refs[2 * l + 1][:] += jnp.sum(delta, axis=0, keepdims=True)
-            delta = jnp.dot(delta, W.T, preferred_element_type=jnp.float32)
+            delta = _dot_tb(delta, W, compute_dtype)
 
         dx_ref[:] = delta
 
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def siren_fused(x: Array, weights: tuple, omega: float = 30.0) -> Array:
-    return siren_forward(x, list(weights), omega)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def siren_fused(x: Array, weights: tuple, omega: float = 30.0, compute_dtype=None) -> Array:
+    return siren_forward(x, list(weights), omega, compute_dtype=compute_dtype)
 
 
-def _fwd(x, weights, omega):
-    return siren_forward(x, list(weights), omega), (x, tuple(weights))
+def _fwd(x, weights, omega, compute_dtype):
+    return (
+        siren_forward(x, list(weights), omega, compute_dtype=compute_dtype),
+        (x, tuple(weights)),
+    )
 
 
-def _bwd(omega, res, g):
+def _bwd(omega, compute_dtype, res, g):
     x, weights = res
     interpret = not _is_tpu()
     n_hidden = len(weights) // 2 - 1
@@ -186,7 +229,7 @@ def _bwd(omega, res, g):
         out_specs.append(block_full(w))
 
     outs = pl.pallas_call(
-        _backward_kernel(omega, n_hidden),
+        _backward_kernel(omega, n_hidden, compute_dtype),
         out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=in_specs,
@@ -243,18 +286,21 @@ def weights_to_flax(weights: Sequence[Array], template) -> dict:
     return p
 
 
-def make_fused_apply(model) -> "callable":
+def make_fused_apply(model, compute_dtype=None) -> "callable":
     """Adapter: an ``apply(params, x)`` for a plain ``models.Siren`` that runs
     through the fused Pallas kernel (drop-in for the fit-engine's apply_fn).
 
     Gradients flow through the flax->flat weight reindexing, so
     ``jax.grad`` over params hits the kernel's custom VJP. Only valid for the
     plain Siren topology (SineLayer stack + final Dense).
+
+    ``compute_dtype=jnp.bfloat16`` runs the matmuls single-pass on the MXU
+    with f32 accumulation and f32 master weights (fast-math mode).
     """
     omega = float(model.hidden_omega_0)
 
     def apply(params, x):
         ws = tuple(weights_from_flax(params))
-        return siren_fused(x, ws, omega)
+        return siren_fused(x, ws, omega, compute_dtype)
 
     return apply
