@@ -159,8 +159,10 @@ bool inflate_buf(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
   z_stream zs{};
   if (inflateInit(&zs) != Z_OK) return false;
   out.clear();
+  // numeric MRI volumes compress ~2:1; reserving 4x avoids almost all
+  // reallocation-copies without paging in silly amounts for small files
   out.reserve(n * 4);
-  std::vector<uint8_t> chunk(1 << 20);
+  static thread_local std::vector<uint8_t> chunk(1 << 22);  // 4 MB, reused
   zs.next_in = const_cast<uint8_t*>(src);
   zs.avail_in = static_cast<uInt>(n);
   int ret;
