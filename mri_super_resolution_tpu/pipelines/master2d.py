@@ -99,6 +99,13 @@ def fit_directions(
 
     Returns (pred_1x [D, H, W], pred_scale [D, H*s, W*s]) ensemble means in
     Normalize(0.5, 0.5) space.
+
+    Directions with fewer acquisitions than the max are padded with
+    zero-weight slots so the vmap shapes match. A padded slot contributes a
+    zero gradient but still advances Adam's bias-correction count for that
+    direction (one extra zero-update per step vs the reference's loop) —
+    immaterial in practice and exact when counts are equal (the shipped
+    registry uses 9/9/9).
     """
     H, W, _ = roi_dwi.shape
     D = len(acquisitions)
