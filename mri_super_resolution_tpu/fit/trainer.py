@@ -199,7 +199,23 @@ class Trainer:
         self.state = state
         if validation_data is None:
             self._save(float(np.mean(train_psnr)) if train_psnr else 0.0)
+        self._flush_logs()
         return state
+
+    def _flush_logs(self) -> None:
+        """Persist scalar logs (the TensorBoard-scalars analog,
+        training.py:128-129,157-178) as CSV under log_dir."""
+        if not self.log_rows:
+            return
+        os.makedirs(self.cfg.log_dir, exist_ok=True)
+        path = os.path.join(self.cfg.log_dir, f"{self.name}_scalars.csv")
+        new = not os.path.exists(path)
+        with open(path, "a") as f:
+            if new:
+                f.write("step,train_loss,train_psnr,val_psnr\n")
+            for row in self.log_rows:
+                f.write(",".join(str(x) for x in row) + "\n")
+        self.log_rows.clear()
 
     def evaluate(self, x_val, y_val, mask_val) -> float:
         losses, psnrs = [], []

@@ -31,8 +31,10 @@ Array = jax.Array
 
 TILE = 512      # forward coordinate tile (1024+ exceeds the VMEM budget:
                 # Mosaic stack-allocates the per-layer intermediates)
-TILE_BWD = 512  # backward tile: activations+pre-cos (stashed bf16)+dW
-                # accumulators must fit the 16MB VMEM budget
+TILE_BWD = 384  # backward tile: activations+pre-cos (stashed bf16)+dW
+                # accumulators must fit the 16MB VMEM budget (512 fits the
+                # bare train step but overflows by ~1.7MB when the kernel is
+                # embedded in the alternating-PN program)
 
 
 def _is_tpu() -> bool:
