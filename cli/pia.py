@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from mri_super_resolution_tpu.models import PIA
-from mri_super_resolution_tpu.ops.pids import pids_weight_map
 from mri_super_resolution_tpu.pipelines import pia_train
 from mri_super_resolution_tpu.utils import save_pytree
 

@@ -20,7 +20,6 @@ import numpy as np
 
 from mri_super_resolution_tpu.config import RAMSConfig, TrainerConfig
 from mri_super_resolution_tpu.data import available_patients, load_mat
-from mri_super_resolution_tpu.data.preprocessing import gen_sub
 from mri_super_resolution_tpu.fit.trainer import Trainer
 from mri_super_resolution_tpu.pipelines.misr import build_rams
 

@@ -21,12 +21,9 @@ implemented for parity); use it where wall-clock-to-quality matters.
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 Array = jax.Array
 

@@ -25,7 +25,7 @@ or ``'default'`` for speed experiments.
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax

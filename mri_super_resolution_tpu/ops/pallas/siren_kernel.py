@@ -271,8 +271,6 @@ def weights_from_flax(params) -> list:
 
 def weights_to_flax(weights: Sequence[Array], template) -> dict:
     """Inverse of :func:`weights_from_flax` onto a params template."""
-    import copy
-
     p = jax.tree_util.tree_map(lambda x: x, template)
     inner = p["params"]
     sine_keys = sorted(

@@ -20,7 +20,7 @@ crops.
 from __future__ import annotations
 
 import numpy as np
-from numpy.fft import fft2, ifft2, fftshift, ifftshift
+from numpy.fft import fft2, ifft2, ifftshift
 
 
 # ---------------------------------------------------------------------------

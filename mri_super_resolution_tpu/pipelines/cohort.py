@@ -25,7 +25,6 @@ from mri_super_resolution_tpu.core.normalize import to_tensor_normalize
 from mri_super_resolution_tpu.data import Case
 from mri_super_resolution_tpu.models import Siren
 from mri_super_resolution_tpu.parallel import make_mesh, make_cohort_fit, stack_params
-from mri_super_resolution_tpu.utils import Throughput
 
 
 @dataclasses.dataclass

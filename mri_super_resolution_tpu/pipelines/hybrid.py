@@ -16,7 +16,6 @@ ops/nlls; small-object removal is a pure-numpy connected-components pass
 from __future__ import annotations
 
 import dataclasses
-import os
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ import optax
 from mri_super_resolution_tpu.config import SupperresDWIConfig
 from mri_super_resolution_tpu.core.adc import adc_polyfit
 from mri_super_resolution_tpu.core.coords import fourier_matrix, fourier_encode, mgrid
-from mri_super_resolution_tpu.core.interp import rescale, resize_along_axis
+from mri_super_resolution_tpu.core.interp import rescale
 from mri_super_resolution_tpu.core.metrics import masked_ssim_protocol
 from mri_super_resolution_tpu.core.normalize import max_normalize
 from mri_super_resolution_tpu.data import (

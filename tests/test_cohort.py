@@ -1,7 +1,5 @@
 """Cohort-parallel runner on the virtual 8-device CPU mesh."""
 import numpy as np
-import jax
-import pytest
 
 from mri_super_resolution_tpu.data import Case
 from mri_super_resolution_tpu.pipelines import cohort

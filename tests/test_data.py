@@ -1,6 +1,5 @@
 """Tests for the data layer: combinations, datasets, DICOM, cases."""
 import itertools
-import os
 
 import numpy as np
 import jax.numpy as jnp

@@ -2,7 +2,6 @@
 reference's soft-ERD formulas."""
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from mri_super_resolution_tpu.ops.erd import (
     _complete_linkage_split,

@@ -3,7 +3,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
-import pytest
 
 from mri_super_resolution_tpu.core.coords import mgrid, fourier_matrix, fourier_encode
 from mri_super_resolution_tpu.fit.engine import (

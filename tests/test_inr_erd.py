@@ -1,6 +1,5 @@
 """Integration test of the soft-ERD two-phase pipeline (tiny config)."""
 import numpy as np
-import pytest
 
 from mri_super_resolution_tpu.config import INRERDConfig
 from mri_super_resolution_tpu.data import CNR_SNR_HEADER

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from mri_super_resolution_tpu.config import Master2DConfig
-from mri_super_resolution_tpu.data import Case, MetricsCSV, CONTRAST_HEADER
+from mri_super_resolution_tpu.data import Case, CONTRAST_HEADER
 from mri_super_resolution_tpu.pipelines import master2d
 
 

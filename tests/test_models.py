@@ -2,7 +2,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from mri_super_resolution_tpu.models import (
     Siren,

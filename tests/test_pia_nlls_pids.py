@@ -2,9 +2,8 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
-from mri_super_resolution_tpu.models.pia import PIA, signal_model
+from mri_super_resolution_tpu.models.pia import PIA
 from mri_super_resolution_tpu.ops.nlls import hybrid_fit, model_signal, P0, LO, HI, BVALS, TES
 from mri_super_resolution_tpu.ops.pids import detect_pids_slice, pids_weight_map
 from mri_super_resolution_tpu.pipelines.pia_train import train_synthetic, predict_maps

@@ -2,7 +2,6 @@
 import os
 
 import numpy as np
-import pytest
 
 from mri_super_resolution_tpu.config import INRERDConfig
 from mri_super_resolution_tpu.data import Case

@@ -2,9 +2,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
-from mri_super_resolution_tpu.config import RAMSConfig
 from mri_super_resolution_tpu.models.rams import RAMS, depth_to_space, WNConv, normalize, denormalize
 from mri_super_resolution_tpu.ops.shift_metrics import (
     shift_l1_loss,

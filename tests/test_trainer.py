@@ -1,6 +1,5 @@
 """MISR Trainer tests: fit loop, checkpoint save/restore, save-best-only."""
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 from mri_super_resolution_tpu.config import TrainerConfig, RAMSConfig
