@@ -70,20 +70,70 @@ def _complete_linkage_split(values: Array) -> Array:
     return labels
 
 
-@functools.partial(jax.jit, static_argnames=("mode",))
+def _ward_split(values: Array) -> Array:
+    """Exact 2-cluster agglomerative-ward labels for a 1-D vector.
+
+    Unlike complete linkage, ward merges in 1-D are NOT guaranteed to keep
+    clusters contiguous in sorted order (a large middle cluster can make a
+    skip-merge cheaper through the size factor), so this runs the full
+    agglomeration: A-2 merges, each picking the pair minimising the
+    Lance-Williams ward cost ``n_i n_j / (n_i + n_j) * (m_i - m_j)^2`` —
+    sklearn ``AgglomerativeClustering(linkage='ward')`` parity
+    (superres.ipynb cell 10). Returns labels (0 = lower-mean cluster).
+    """
+    A = values.shape[0]
+    ids = jnp.arange(A)
+    ones = jnp.ones((A,), values.dtype)
+
+    def merge_once(labels, _):
+        counts = jax.ops.segment_sum(ones, labels, num_segments=A)
+        sums = jax.ops.segment_sum(values, labels, num_segments=A)
+        means = sums / jnp.maximum(counts, 1.0)
+        alive = counts > 0
+        cost = (
+            counts[:, None]
+            * counts[None, :]
+            / jnp.maximum(counts[:, None] + counts[None, :], 1.0)
+            * (means[:, None] - means[None, :]) ** 2
+        )
+        valid = alive[:, None] & alive[None, :] & (ids[:, None] < ids[None, :])
+        cost = jnp.where(valid, cost, jnp.inf)
+        k = jnp.argmin(cost)
+        i, j = k // A, k % A
+        return jnp.where(labels == j, i, labels), None
+
+    labels, _ = jax.lax.scan(merge_once, ids, None, length=A - 2)
+    counts = jax.ops.segment_sum(ones, labels, num_segments=A)
+    sums = jax.ops.segment_sum(values, labels, num_segments=A)
+    means = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), -jnp.inf)
+    upper_id = jnp.argmax(means)
+    return (labels == upper_id).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "linkage"))
 def auto_erd(
     img: Array,  # (H, W, A) acquisition stack for one slice
     erd_map: Array | None = None,  # (H, W) reference ERD (mode 2)
     mode: int = 1,
+    linkage: str = "complete",
 ) -> Array:
     """Per-pixel acceptance mask (H, W, A), 1 = keep.
 
     mode 1: reject the minority cluster when the majority holds >= 2/3 of A.
     mode 2: where ``erd_map > 0``, reject the higher-mean cluster.
+    mode 3: keep only the strictly larger cluster; on equal sizes keep all
+            (the superres.ipynb cell-10 rule, used there with ward linkage).
+    linkage: 'complete' (master.py:78) or 'ward' (superres.ipynb cell 10).
     """
     A = img.shape[-1]
     flat = img.reshape(-1, A)
-    labels = jax.vmap(_complete_linkage_split)(flat)  # (P, A)
+    if linkage == "complete":
+        split = _complete_linkage_split
+    elif linkage == "ward":
+        split = _ward_split
+    else:
+        raise ValueError(f"linkage must be 'complete' or 'ward', got {linkage!r}")
+    labels = jax.vmap(split)(flat)  # (P, A)
 
     len1 = labels.sum(axis=1, keepdims=True)  # cluster-1 sizes
     len0 = A - len1
@@ -105,8 +155,13 @@ def auto_erd(
         higher_is_1 = mean1 > mean0
         reject = jnp.where(higher_is_1, labels == 1, labels == 0)
         accept = ~(gate & reject)
+    elif mode == 3:
+        keep1 = (len1 > len0) & (labels == 1)
+        keep0 = (len0 > len1) & (labels == 0)
+        tie = len0 == len1
+        accept = keep0 | keep1 | tie
     else:
-        raise ValueError(f"mode must be 1 or 2, got {mode}")
+        raise ValueError(f"mode must be 1, 2 or 3, got {mode}")
     return accept.astype(jnp.int32).reshape(img.shape)
 
 

@@ -47,8 +47,16 @@ def model_signal(theta: Array, b: Array, te: Array) -> Array:
     return 1000.0 * s
 
 
-def _lm_single(y: Array, b: Array, te: Array, iters: int) -> Array:
-    """Projected Levenberg-Marquardt for one voxel."""
+def _lm_single(y: Array, b: Array, te: Array, iters: int, ftol: float) -> Array:
+    """Projected Levenberg-Marquardt for one voxel with a convergence mask.
+
+    Uses ``lax.while_loop`` so that under ``vmap`` the whole batch stops as
+    soon as every lane is converged (JAX's batched while_loop freezes done
+    lanes automatically) — the early-exit the fixed-40-iteration fori_loop
+    lacked. A lane is converged when an accepted step improves the cost by a
+    relative factor below ``ftol`` (scipy ``curve_fit`` semantics) or when the
+    damping factor saturates with the step still rejected (stuck).
+    """
     p0 = jnp.asarray(P0)
     lo = jnp.asarray(LO)
     hi = jnp.asarray(HI)
@@ -60,8 +68,12 @@ def _lm_single(y: Array, b: Array, te: Array, iters: int) -> Array:
         r = residual(theta)
         return jnp.sum(r * r)
 
-    def body(_, carry):
-        theta, lam, c = carry
+    def cond(carry):
+        i, _, _, _, done = carry
+        return (i < iters) & ~done
+
+    def body(carry):
+        i, theta, lam, c, done = carry
         J = jax.jacfwd(residual)(theta)  # (16, 8)
         r = residual(theta)
         JtJ = J.T @ J
@@ -71,33 +83,35 @@ def _lm_single(y: Array, b: Array, te: Array, iters: int) -> Array:
         cand = jnp.clip(theta - delta, lo, hi)
         c_new = cost(cand)
         accept = c_new < c
+        rel_improve = (c - c_new) / jnp.maximum(c, 1e-30)
+        converged = (accept & (rel_improve < ftol)) | (~accept & (lam >= 1e8))
         theta = jnp.where(accept, cand, theta)
         c = jnp.where(accept, c_new, c)
-        lam = jnp.where(accept, lam * 0.33, lam * 4.0)
-        lam = jnp.clip(lam, 1e-8, 1e8)
-        return theta, lam, c
+        lam = jnp.clip(jnp.where(accept, lam * 0.33, lam * 4.0), 1e-8, 1e8)
+        return i + 1, theta, lam, c, done | converged
 
-    theta, _, c_final = jax.lax.fori_loop(
-        0, iters, body, (p0, jnp.asarray(1e-2), cost(p0))
+    _, theta, _, c_final, _ = jax.lax.while_loop(
+        cond, body, (0, p0, jnp.asarray(1e-2), cost(p0), jnp.asarray(False))
     )
     # fallback to p0 on NaN/divergence (reference's except RuntimeError path)
     bad = ~jnp.isfinite(c_final) | (c_final > cost(p0))
     return jnp.where(bad, p0, theta)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "ftol"))
 def hybrid_fit(
     signals: Array,  # (N, 16) voxel signals over the (b, TE) grid, b outer
     bvals=BVALS,
     tes=TES,
     iters: int = 40,
+    ftol: float = 1e-10,
 ) -> tuple[Array, Array, Array]:
     """Fit every voxel; returns (D [N,3], T2 [N,3], v [N,3]) with
     v[:, 2] = 1 - V_ep - V_st (PIA.py:278-283)."""
     te_grid, b_grid = jnp.meshgrid(jnp.asarray(tes), jnp.asarray(bvals))
     b = b_grid.reshape(-1)
     te = te_grid.reshape(-1)
-    theta = jax.vmap(lambda y: _lm_single(y, b, te, iters))(signals)
+    theta = jax.vmap(lambda y: _lm_single(y, b, te, iters, ftol))(signals)
     D = theta[:, 0:3]
     T2 = theta[:, 3:6]
     v = jnp.stack(

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 
 from mri_super_resolution_tpu.ops.erd import (
     _complete_linkage_split,
+    _ward_split,
     auto_erd,
     soft_erd_mean,
     soft_erd_weights,
@@ -32,7 +33,45 @@ class TestCompleteLinkage:
         assert (labels[:-1] == labels[0]).all()
 
 
+class TestWardLinkage:
+    def test_matches_sklearn(self, rng):
+        from sklearn.cluster import AgglomerativeClustering
+
+        for trial in range(20):
+            A = int(rng.integers(4, 12))
+            vals = rng.uniform(size=A).astype(np.float64)
+            ours = np.asarray(_ward_split(jnp.asarray(vals)))
+            db = AgglomerativeClustering(n_clusters=2, linkage="ward").fit(
+                vals.reshape(-1, 1)
+            )
+            same = (ours == db.labels_).all() or (ours == 1 - db.labels_).all()
+            assert same, f"trial {trial}: {vals} ours={ours} sklearn={db.labels_}"
+
+    def test_upper_cluster_is_label_1(self):
+        vals = jnp.asarray([1.0, 1.02, 0.99, 1.01, 5.0, 5.1])
+        labels = np.asarray(_ward_split(vals))
+        assert (labels == np.asarray([0, 0, 0, 0, 1, 1])).all()
+
+
 class TestAutoERD:
+    def test_mode3_ward_keeps_strict_majority(self, rng):
+        # the superres.ipynb cell-10 rule: keep only the larger cluster
+        img = np.ones((1, 2, 9), dtype=np.float32)
+        img += 0.01 * rng.normal(size=img.shape).astype(np.float32)
+        img[0, 0, :4] = 0.2  # 4 low / 5 high -> keep the 5 high
+        accept = np.asarray(auto_erd(jnp.asarray(img), mode=3, linkage="ward"))
+        assert (accept[0, 0, :4] == 0).all() and (accept[0, 0, 4:] == 1).all()
+        # near-uniform pixel: the rule keeps whatever the larger cluster is
+        assert accept[0, 1].sum() >= 5
+
+    def test_mode3_tie_keeps_all(self):
+        img = np.zeros((1, 1, 8), dtype=np.float32)
+        img[0, 0, :4] = 1.0
+        img[0, 0, 4:] = 2.0
+        accept = np.asarray(auto_erd(jnp.asarray(img), mode=3, linkage="ward"))
+        assert accept.sum() == 8
+
+
     def test_mode1_rejects_minority(self, rng):
         H, W, A = 4, 4, 9
         img = np.ones((H, W, A), dtype=np.float32) + 0.01 * rng.normal(size=(H, W, A)).astype(np.float32)
