@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--hidden_layers", type=int, default=6)
     p.add_argument("--limit_cases", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tensorboard_dir", default=None,
+                   help="write per-case loss curves as tfevents under this dir")
     args = p.parse_args(argv)
 
     cases = load_cases(limit=args.limit_cases)
@@ -35,6 +37,14 @@ def main(argv=None):
         hidden_layers=args.hidden_layers,
         seed=args.seed,
     )
+    if args.tensorboard_dir:
+        from mri_super_resolution_tpu.utils.tbevents import EventWriter
+
+        for case, losses in zip(cases, res.losses):
+            with EventWriter(os.path.join(args.tensorboard_dir, str(case.pt_id))) as w:
+                for step, loss in enumerate(losses):
+                    w.add_scalar("Loss", float(loss), step + 1)
+        print(f"tfevents written to {args.tensorboard_dir}")
     print(
         f"cohort of {len(cases)} cases on mesh {res.mesh_shape}: "
         f"{res.voxels_per_sec:,.0f} voxels/sec, "

@@ -96,3 +96,4 @@ class TrainerConfig:
     max_to_keep: int = 3
     save_best_only: bool = True
     data_aug: bool = False
+    tensorboard: bool = False  # also emit tfevents (training.py:128-129)

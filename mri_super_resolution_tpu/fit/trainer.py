@@ -31,6 +31,7 @@ import optax
 from mri_super_resolution_tpu.config import TrainerConfig
 from mri_super_resolution_tpu.ops.shift_metrics import shift_l1_loss, shift_psnr
 from mri_super_resolution_tpu.utils.checkpoint import CheckpointManager
+from mri_super_resolution_tpu.utils.tbevents import EventWriter
 
 Array = jax.Array
 
@@ -80,6 +81,15 @@ class Trainer:
         self.manager = CheckpointManager(cfg.checkpoint_dir, cfg.max_to_keep)
         self.state: TrainState | None = None
         self.log_rows: list[tuple] = []
+        self._last_val_loss = 0.0
+        # TensorBoard-parity writers (training.py:128-129): train_<name> and
+        # test_<name> run dirs under log_dir, tags 'Loss'/'PSNR'. CSV stays
+        # the default; these are additive when cfg.tensorboard is set.
+        self._tb_train: EventWriter | None = None
+        self._tb_test: EventWriter | None = None
+        if cfg.tensorboard:
+            self._tb_train = EventWriter(os.path.join(cfg.log_dir, f"train_{name}"))
+            self._tb_test = EventWriter(os.path.join(cfg.log_dir, f"test_{name}"))
 
         hr = cfg.hr_size
 
@@ -184,12 +194,22 @@ class Trainer:
                 state.step += 1
                 train_loss.append(loss_f)
                 train_psnr.append(float(psnr))
+                if self._tb_train is not None:
+                    # running-epoch means, matching tf.keras.metrics.Mean
+                    # semantics at training.py:157-162
+                    self._tb_train.add_scalar("Loss", float(np.mean(train_loss)), state.step)
+                    self._tb_train.add_scalar("PSNR", float(np.mean(train_psnr)), state.step)
 
                 if validation_data is not None and state.step % cfg.evaluate_every == 0:
                     val_psnr = self.evaluate(*validation_data)
                     self.log_rows.append(
                         (state.step, np.mean(train_loss), np.mean(train_psnr), val_psnr)
                     )
+                    if self._tb_test is not None:
+                        self._tb_test.add_scalar("Loss", self._last_val_loss, state.step)
+                        self._tb_test.add_scalar("PSNR", val_psnr, state.step)
+                        self._tb_train.flush()
+                        self._tb_test.flush()
                     self.state = state
                     self._save(val_psnr)
             print(
@@ -205,6 +225,9 @@ class Trainer:
     def _flush_logs(self) -> None:
         """Persist scalar logs (the TensorBoard-scalars analog,
         training.py:128-129,157-178) as CSV under log_dir."""
+        if self._tb_train is not None:
+            self._tb_train.flush()
+            self._tb_test.flush()
         if not self.log_rows:
             return
         os.makedirs(self.cfg.log_dir, exist_ok=True)
@@ -229,4 +252,5 @@ class Trainer:
             )
             losses.append(float(loss))
             psnrs.append(float(psnr))
+        self._last_val_loss = float(np.mean(losses)) if losses else 0.0
         return float(np.mean(psnrs)) if psnrs else 0.0
