@@ -1,0 +1,232 @@
+"""Synthetic half-resolution quality protocol — the superres-lowres.ipynb port.
+
+Reference: implicit-neural-representations/superres-lowres.ipynb (cells 6-19)
+and superres-lowres-qual.ipynb cell 6 (the 10-case x all-slices sweep). Per
+case x slice:
+
+1. ground truth = the full-resolution mean over high-b acquisitions;
+2. LR = anti-aliased 0.5x downsample of that mean (skimage ``rescale``
+   semantics) — unlike the superresDWI SSIM protocol (where LR is the raw
+   ``HR[::2, ::2]`` subsample and spline therefore reproduces the HR's exact
+   noise at 25% of pixels), here LR shares NO noise realisation with the
+   reference image, making this the confound-free second quality harness;
+3. phase 1: SirenERD(2 -> 128x3 + ReLU head) fit on the LR mean until
+   loss < 2e-5 with restart-on-collapse (cell 7, lr 3e-4);
+4. soft-ERD per-acquisition weights on the downsampled acquisitions (cell 10);
+5. phase 2: 500 joint steps, per-acquisition perturbed forwards, weighted MSE
+   summed over acquisitions, two Adams (perturb lr 1e-5, trunk lr 1e-7),
+   eps = 1/128 (cell 12);
+6. SR = mean over acquisitions of the INR sampled on the full-res grid
+   (cell 13); spline baseline = rescale(LR, 2);
+7. metrics: masked SSIM (Gourdeau protocol) + PSNR of spline and SR against
+   the ground-truth mean; ADC triptych (cell 18) optional.
+
+CSV schema: pt_id, slice, ssim_spline, ssim_sr, psnr_spline, psnr_sr.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mri_super_resolution_tpu.core.coords import mgrid
+from mri_super_resolution_tpu.core.interp import rescale
+from mri_super_resolution_tpu.core.metrics import masked_ssim_protocol, psnr
+from mri_super_resolution_tpu.core.normalize import (
+    from_tensor_normalize,
+    rayleigh_noise_std,
+    to_tensor_normalize,
+)
+from mri_super_resolution_tpu.data import MetricsCSV
+from mri_super_resolution_tpu.fit.engine import fit_until
+from mri_super_resolution_tpu.models import SirenERD
+from mri_super_resolution_tpu.ops.erd import soft_erd_weights
+from mri_super_resolution_tpu.pipelines.inr_erd import ERDCase, _label_params
+
+Array = jax.Array
+
+LOWRES_QUAL_HEADER = ("pt_id", "slice", "ssim_spline", "ssim_sr", "psnr_spline", "psnr_sr")
+
+
+@dataclasses.dataclass
+class LowresQualConfig:
+    hidden_features: int = 128
+    hidden_layers: int = 3
+    pretrain_lr: float = 3e-4  # cell 6
+    loss_threshold: float = 2e-5  # cell 7
+    phase2_steps: int = 500  # cell 12 ("if ctr > 500: break")
+    perturb_lr: float = 1e-5  # cell 12 optim1
+    net_lr: float = 1e-7  # cell 12 optim2
+    perturb_eps: float = 1.0 / 128.0
+    soft_erd_mul: float = 1000.0
+    soft_erd_slope: float = 20.0
+    max_pretrain_steps: int = 100_000
+
+
+@dataclasses.dataclass
+class LowresQualResult:
+    gt: np.ndarray  # (H, W) ground-truth mean
+    lr: np.ndarray  # (H/2, W/2)
+    spline: np.ndarray  # (H, W)
+    sr: np.ndarray  # (H, W)
+    metrics: tuple  # (ssim_spline, ssim_sr, psnr_spline, psnr_sr)
+    pretrain_steps: int
+
+
+def run_slice(
+    case: ERDCase, _slice: int, cfg: LowresQualConfig, seed: int = 0
+) -> LowresQualResult:
+    dwi = case.b3[:, :, _slice, :]  # (H, W, A)
+    b0 = case.b0[:, :, _slice]
+    H, W = dwi.shape[:2]
+    A = dwi.shape[-1]
+
+    gt = dwi.mean(-1)
+    scale = float(gt.max()) + 1e-12
+    gt_n = gt / scale
+
+    lr = np.asarray(rescale(jnp.asarray(gt_n), 0.5, anti_aliasing=True))
+    h, w = lr.shape
+
+    coords_lr = mgrid((h, w))
+    target = to_tensor_normalize(jnp.asarray(lr)).reshape(-1, 1)
+
+    model = SirenERD(
+        hidden_features=cfg.hidden_features,
+        hidden_layers=cfg.hidden_layers,
+        perturb=True,
+    )
+
+    def init_fn(key):
+        return model.init(key, coords_lr, 0.0, 0.0)
+
+    # phase 1 (cell 7): trunk-only fit to the LR mean, restart-on-collapse
+    apply_plain = functools.partial(model.apply, sample=0.0, eps=0.0)
+    params, steps, _ = fit_until(
+        apply_plain,
+        optax.adam(cfg.pretrain_lr),
+        init_fn,
+        jax.random.key(seed),
+        coords_lr,
+        target,
+        loss_threshold=cfg.loss_threshold,
+        max_steps=cfg.max_pretrain_steps,
+    )
+
+    # soft-ERD weights on the downsampled acquisitions (cell 10)
+    nx, ny = case.noise
+    noise_roi = case.b3[nx - 3 : nx + 2, ny - 3 : ny + 2, _slice] / scale
+    noise_level = rayleigh_noise_std(jnp.asarray(noise_roi))
+    acq_low = np.stack(
+        [np.asarray(rescale(jnp.asarray(dwi[:, :, a] / scale), 0.5, anti_aliasing=True)) for a in range(A)],
+        axis=-1,
+    )  # (h, w, A)
+    b0_low = np.asarray(rescale(jnp.asarray(b0 / (float(b0.max()) + 1e-12)), 0.5, anti_aliasing=True))
+    weights = np.asarray(
+        soft_erd_weights(
+            jnp.asarray(acq_low), jnp.asarray(b0_low), noise_level,
+            mul=cfg.soft_erd_mul, slope=cfg.soft_erd_slope,
+        )
+    )
+
+    acq_targets = to_tensor_normalize(
+        jnp.asarray(np.moveaxis(acq_low, -1, 0).reshape(A, -1, 1))
+    )
+    acq_weights = jnp.asarray(np.moveaxis(weights, -1, 0).reshape(A, -1, 1))
+    acq_ids = jnp.arange(A, dtype=jnp.float32)
+
+    labels = _label_params(params)
+    tx = optax.multi_transform(
+        {"perturb": optax.adam(cfg.perturb_lr), "net": optax.adam(cfg.net_lr)},
+        labels,
+    )
+
+    # phase 2 (cell 12): the whole 500-step loop scanned inside one jit
+    @jax.jit
+    def phase2(params):
+        opt_state = tx.init(params)
+
+        def step(carry, _):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                def per_acq(i, t, w_):
+                    out = model.apply(p, coords_lr, sample=i, eps=cfg.perturb_eps)
+                    return jnp.mean(w_ * (out - t) ** 2)
+
+                return jnp.sum(jax.vmap(per_acq)(acq_ids, acq_targets, acq_weights))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, _), losses = jax.lax.scan(
+            step, (params, opt_state), None, length=cfg.phase2_steps
+        )
+        return params, losses
+
+    params, _ = phase2(params)
+
+    # SR inference (cell 13): acquisition-mean on the full-res grid
+    coords_hr = mgrid((H, W))
+
+    @jax.jit
+    def recon_mean(params):
+        def one(i):
+            return model.apply(params, coords_hr, sample=i, eps=cfg.perturb_eps)
+
+        return jax.vmap(one)(acq_ids).mean(0)
+
+    sr = np.asarray(from_tensor_normalize(recon_mean(params))).reshape(H, W)
+    spline = np.asarray(rescale(jnp.asarray(lr), 2, anti_aliasing=True))
+
+    @jax.jit
+    def metric_table(gt_im, sp_im, sr_im):
+        return (
+            masked_ssim_protocol(gt_im, sp_im),
+            masked_ssim_protocol(gt_im, sr_im),
+            psnr(gt_im, sp_im, data_range=1.0),
+            psnr(gt_im, sr_im, data_range=1.0),
+        )
+
+    m = tuple(
+        float(x)
+        for x in metric_table(jnp.asarray(gt_n), jnp.asarray(spline), jnp.asarray(sr))
+    )
+    return LowresQualResult(
+        gt=gt_n, lr=lr, spline=spline, sr=sr, metrics=m, pretrain_steps=int(steps)
+    )
+
+
+def run(
+    cases: Sequence[ERDCase],
+    cfg: LowresQualConfig,
+    out_csv: str,
+    slices: Sequence[int] | None = None,
+    seed: int = 0,
+) -> str:
+    """Sweep cases x slices (superres-lowres-qual.ipynb cell 6) -> CSV."""
+    csv = MetricsCSV(out_csv, LOWRES_QUAL_HEADER)
+    for case in cases:
+        case_slices = slices if slices is not None else range(case.b3.shape[2])
+        for _slice in case_slices:
+            if _slice >= case.b3.shape[2]:
+                continue
+            res = run_slice(case, _slice, cfg, seed=seed)
+            ssim_sp, ssim_sr, psnr_sp, psnr_sr = res.metrics
+            csv.append(
+                case.pt_id, _slice,
+                round(ssim_sp, 5), round(ssim_sr, 5),
+                round(psnr_sp, 3), round(psnr_sr, 3),
+            )
+            print(
+                f"{case.pt_id} slice {_slice}: SSIM spline {ssim_sp:.4f} vs "
+                f"SR {ssim_sr:.4f} | PSNR spline {psnr_sp:.2f} vs SR {psnr_sr:.2f} "
+                f"({res.pretrain_steps} pretrain steps)"
+            )
+    return csv.path

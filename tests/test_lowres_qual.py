@@ -1,0 +1,59 @@
+"""Half-res quality protocol integration test (tiny config)."""
+import numpy as np
+
+from mri_super_resolution_tpu.pipelines import inr_erd, lowres_qual
+
+
+def _structured_case(rng) -> inr_erd.ERDCase:
+    """Structured, low-noise case so SSIM measures structure, not noise."""
+    H = W = 24
+    S, A = 3, 4
+    y, x = np.mgrid[0:H, 0:W] / H
+    base = 0.5 + 0.3 * np.sin(4 * np.pi * x) * np.cos(3 * np.pi * y) + 0.15 * y
+    b0 = np.repeat(base[:, :, None], S, axis=2).astype(np.float32) * 2.0
+    b3 = np.stack(
+        [b0 * 0.5 + 0.002 * rng.normal(size=(H, W, S)).astype(np.float32) for _ in range(A)],
+        axis=-1,
+    ).astype(np.float32)
+    return inr_erd.ERDCase(
+        pt_id="18-1681-77",
+        b=(0.0, 150.0, 1000.0, 1500.0),
+        cancer_loc=(12, 12),
+        contralateral_loc=(8, 8),
+        noise=(18, 18),
+        cancer_slice=1,
+        b0=b0,
+        b3=b3,
+    )
+
+
+class TestLowresQual:
+    def test_run_slice_and_csv(self, rng, tmp_path):
+        case = _structured_case(rng)
+        cfg = lowres_qual.LowresQualConfig(
+            hidden_features=48,
+            hidden_layers=2,
+            loss_threshold=5e-4,
+            phase2_steps=5,
+            max_pretrain_steps=8000,
+        )
+        res = lowres_qual.run_slice(case, case.cancer_slice, cfg, seed=0)
+        H, W = case.b0.shape[:2]
+        assert res.gt.shape == (H, W)
+        assert res.lr.shape == (H // 2, W // 2)
+        assert res.sr.shape == (H, W)
+        assert res.spline.shape == (H, W)
+        ssim_sp, ssim_sr, psnr_sp, psnr_sr = res.metrics
+        assert 0.0 <= ssim_sp <= 1.0 and 0.0 <= ssim_sr <= 1.0
+        assert np.isfinite(psnr_sp) and np.isfinite(psnr_sr)
+        # the fit must reconstruct something resembling the target
+        assert ssim_sr > 0.3
+
+        path = lowres_qual.run(
+            [case], cfg, str(tmp_path / "lq.csv"), slices=[case.cancer_slice]
+        )
+        lines = open(path).read().splitlines()
+        assert len(lines) == 2
+        assert lines[0].split(",")[2:] == [
+            "ssim_spline", "ssim_sr", "psnr_spline", "psnr_sr"
+        ]
