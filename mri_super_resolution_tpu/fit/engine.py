@@ -56,8 +56,13 @@ def fit_simple(
     coords: Array,
     target: Array,
     num_steps: int,
+    value_and_grad_fn: Callable | None = None,
 ) -> FitResult:
-    """``num_steps`` full-batch Adam MSE steps on (coords -> target)."""
+    """``num_steps`` full-batch Adam MSE steps on (coords -> target).
+
+    ``value_and_grad_fn(params, coords, target) -> (loss, grads)`` overrides
+    the default autodiff path — e.g. the one-pass fused Pallas gradient
+    (ops/pallas/siren_kernel.make_fused_value_and_grad)."""
     opt_state = tx.init(params)
 
     def step(carry, _):
@@ -66,7 +71,10 @@ def fit_simple(
         def loss_fn(p):
             return mse(apply_fn(p, coords), target)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        if value_and_grad_fn is not None:
+            loss, grads = value_and_grad_fn(params, coords, target)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss

@@ -12,6 +12,16 @@ Provides:
 - ``siren_fused``        — custom-VJP wrapper whose backward recomputes
   activations in-VMEM per tile and accumulates dW across grid steps into
   revisited output blocks (sequential TPU grid).
+- ``siren_loss_grads``   — the full train-step gradient in ONE kernel pass:
+  forward + masked MSE + backward, returning (loss, dweights) with no
+  separate forward call, no XLA loss round-trip, and no dx compute/write
+  (coordinates are constants in the fit loops). This is the fit-engine fast
+  path: ~3 forward-equivalents of compute per step vs 4 for
+  forward-kernel + value_and_grad-over-``siren_fused``.
+
+Per-layer activations are configurable via ``acts`` tuples ("sine", "relu",
+"none") so the same kernels serve plain Siren (sine..sine, none) and the
+SirenERD trunk (sine..sine, relu, relu).
 
 Weights are passed as flat lists [W1, b1, ..., Wn, bn, Wout, bout]. Hidden
 widths must be multiples of 128 (lane dimension); the coordinate tile is 512
@@ -80,20 +90,43 @@ def _dot_tb(a, b, compute_dtype):
     )
 
 
-def _forward_kernel(omega: float, n_hidden: int, compute_dtype=None):
-    """Build the fused forward kernel body for n_hidden sine layers + linear."""
+def _default_acts(n_layers: int) -> tuple:
+    """Plain-Siren activation pattern: sine on every layer but the last."""
+    return ("sine",) * (n_layers - 1) + ("none",)
+
+
+def _apply_act(z, act: str, omega: float):
+    if act == "sine":
+        return jnp.sin(omega * z)
+    if act == "relu":
+        return jnp.maximum(z, 0.0)
+    if act == "none":
+        return z
+    raise ValueError(f"unknown activation {act!r}")
+
+
+def _act_factor(z, act: str, omega: float):
+    """d act(z) / dz, stashed bf16 (see backward kernel notes)."""
+    if act == "sine":
+        return jnp.cos(omega * z).astype(jnp.bfloat16)  # multiplied by omega later
+    if act == "relu":
+        return (z > 0.0).astype(jnp.bfloat16)
+    return None
+
+
+def _forward_kernel(omega: float, acts: tuple, compute_dtype=None):
+    """Build the fused forward kernel body for the given activation pattern."""
+    n_layers = len(acts)
 
     def kernel(x_ref, *refs):
-        # refs: W0,b0, W1,b1, ..., W_{n-1},b_{n-1}, Wout,bout, out_ref
+        # refs: W0,b0, W1,b1, ..., W_{n-1},b_{n-1}, out_ref
         out_ref = refs[-1]
         h = x_ref[:]
-        for l in range(n_hidden):
+        for l in range(n_layers):
             W = refs[2 * l][:]
             b = refs[2 * l + 1][:]  # (1, n) — biases are kept 2-D in-kernel
-            h = jnp.sin(omega * (_dot(h, W, compute_dtype) + b))
-        Wout = refs[2 * n_hidden][:]
-        bout = refs[2 * n_hidden + 1][:]
-        out_ref[:] = _dot(h, Wout, compute_dtype) + bout
+            h = _apply_act(_dot(h, W, compute_dtype) + b, acts[l], omega)
+        out_ref[:] = h
 
     return kernel
 
@@ -106,12 +139,16 @@ def _pad_rows(x: Array, tile: int) -> tuple[Array, int]:
     return x, P
 
 
-@functools.partial(jax.jit, static_argnames=("omega", "interpret", "compute_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("omega", "interpret", "compute_dtype", "acts")
+)
 def siren_forward(x: Array, weights: Sequence[Array], omega: float = 30.0,
-                  interpret: bool | None = None, compute_dtype=None) -> Array:
-    """Fused SIREN forward. ``weights`` = [W1, b1, ..., Wout, bout]."""
+                  interpret: bool | None = None, compute_dtype=None,
+                  acts: tuple | None = None) -> Array:
+    """Fused MLP forward. ``weights`` = [W1, b1, ..., Wout, bout];
+    ``acts`` = per-layer activations (default: plain-Siren pattern)."""
     interpret = (not _is_tpu()) if interpret is None else interpret
-    n_hidden = len(weights) // 2 - 1
+    acts = _default_acts(len(weights) // 2) if acts is None else acts
     # biases travel as (1, n) blocks — 1-D refs are fragile on TPU Pallas
     weights = [w[None, :] if w.ndim == 1 else w for w in weights]
     out_dim = weights[-1].shape[-1]
@@ -124,7 +161,7 @@ def siren_forward(x: Array, weights: Sequence[Array], omega: float = 30.0,
     in_specs += [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=ms) for w in weights]
 
     out = pl.pallas_call(
-        _forward_kernel(omega, n_hidden, compute_dtype),
+        _forward_kernel(omega, acts, compute_dtype),
         out_shape=jax.ShapeDtypeStruct((xp.shape[0], out_dim), jnp.float32),
         grid=grid,
         in_specs=in_specs,
@@ -139,19 +176,57 @@ def siren_forward(x: Array, weights: Sequence[Array], omega: float = 30.0,
 # ---------------------------------------------------------------------------
 
 
-def _backward_kernel(omega: float, n_hidden: int, compute_dtype=None):
+def _recompute_forward(x_ref, refs, acts, omega, compute_dtype):
+    """Forward recompute for one tile, stashing per-layer inputs and
+    activation-derivative factors.
+
+    Inputs/factors are stashed in bf16: halves the VMEM working set (tile 512
+    instead of 256); dW error class matches bf16-compute, measured within
+    noise of f32 on the flagship fit. Returns (h, layer_inputs, factors).
+    """
+    h = x_ref[:]
+    inputs = []
+    factors = []
+    for l, act in enumerate(acts):
+        inputs.append(h.astype(jnp.bfloat16))
+        W = refs[2 * l][:]
+        b = refs[2 * l + 1][:]
+        z = _dot(h, W, compute_dtype) + b
+        factors.append(_act_factor(z, act, omega))
+        h = _apply_act(z, act, omega)
+    return h, inputs, factors
+
+
+def _backprop_weights(refs, dW_refs, delta, inputs, factors, acts, omega,
+                      compute_dtype, need_dx: bool):
+    """Shared backward chain: accumulate dW/db per layer; optionally return dx."""
+    for l in reversed(range(len(acts))):
+        if acts[l] == "sine":
+            delta = delta * (omega * factors[l].astype(jnp.float32))
+        elif acts[l] == "relu":
+            delta = delta * factors[l].astype(jnp.float32)
+        dW_refs[2 * l][:] += _dot_ta(inputs[l].astype(jnp.float32), delta, compute_dtype)
+        dW_refs[2 * l + 1][:] += jnp.sum(delta, axis=0, keepdims=True)
+        if l > 0 or need_dx:
+            delta = _dot_tb(delta, refs[2 * l][:], compute_dtype)
+    return delta
+
+
+def _backward_kernel(omega: float, acts: tuple, compute_dtype=None):
     """Recompute activations for the tile, then backprop, accumulating dW/db
     into revisited output blocks."""
+    n_layers = len(acts)
 
     def kernel(*refs):
-        # inputs: x, W0,b0..W_{n-1},b_{n-1}, Wout,bout, g
-        # outputs: dx, dW0,db0, ..., dWout,dbout
-        n_in = 1 + 2 * (n_hidden + 1) + 1
+        # inputs: x, W0,b0..W_{n-1},b_{n-1}, g
+        # outputs: dx, dW0,db0, ..., dW_{n-1},db_{n-1}
+        n_in = 1 + 2 * n_layers + 1
         x_ref = refs[0]
         g_ref = refs[n_in - 1]
         out_refs = refs[n_in:]
         dx_ref = out_refs[0]
         dW_refs = out_refs[1:]
+        w_refs = refs[1:n_in - 1]
 
         i = pl.program_id(0)
 
@@ -160,56 +235,36 @@ def _backward_kernel(omega: float, n_hidden: int, compute_dtype=None):
             for r in dW_refs:
                 r[:] = jnp.zeros_like(r)
 
-        # forward recompute, keeping pre-activation cos factors
-        h = x_ref[:]
-        # activations/cos factors stashed in bf16: halves the VMEM working
-        # set (tile 512 instead of 256); dW error class matches bf16-compute,
-        # measured within noise of f32 on the flagship fit
-        acts = [h.astype(jnp.bfloat16)]
-        pre_cos = []
-        for l in range(n_hidden):
-            W = refs[1 + 2 * l][:]
-            b = refs[2 + 2 * l][:]
-            z = _dot(h, W, compute_dtype) + b
-            pre_cos.append(jnp.cos(omega * z).astype(jnp.bfloat16))
-            h = jnp.sin(omega * z)
-            acts.append(h.astype(jnp.bfloat16))
-        Wout = refs[1 + 2 * n_hidden][:]
-
-        g = g_ref[:]
-        # final linear
-        dW_refs[2 * n_hidden][:] += _dot_ta(acts[-1].astype(jnp.float32), g, compute_dtype)
-        dW_refs[2 * n_hidden + 1][:] += jnp.sum(g, axis=0, keepdims=True)
-        delta = _dot_tb(g, Wout, compute_dtype)
-
-        for l in reversed(range(n_hidden)):
-            delta = delta * (omega * pre_cos[l].astype(jnp.float32))
-            W = refs[1 + 2 * l][:]
-            dW_refs[2 * l][:] += _dot_ta(acts[l].astype(jnp.float32), delta, compute_dtype)
-            dW_refs[2 * l + 1][:] += jnp.sum(delta, axis=0, keepdims=True)
-            delta = _dot_tb(delta, W, compute_dtype)
-
-        dx_ref[:] = delta
+        _, inputs, factors = _recompute_forward(
+            x_ref, w_refs, acts, omega, compute_dtype
+        )
+        dx_ref[:] = _backprop_weights(
+            w_refs, dW_refs, g_ref[:], inputs, factors, acts, omega,
+            compute_dtype, need_dx=True,
+        )
 
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def siren_fused(x: Array, weights: tuple, omega: float = 30.0, compute_dtype=None) -> Array:
-    return siren_forward(x, list(weights), omega, compute_dtype=compute_dtype)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def siren_fused(x: Array, weights: tuple, omega: float = 30.0,
+                compute_dtype=None, acts: tuple | None = None) -> Array:
+    return siren_forward(x, list(weights), omega, compute_dtype=compute_dtype,
+                         acts=acts)
 
 
-def _fwd(x, weights, omega, compute_dtype):
+def _fwd(x, weights, omega, compute_dtype, acts):
     return (
-        siren_forward(x, list(weights), omega, compute_dtype=compute_dtype),
+        siren_forward(x, list(weights), omega, compute_dtype=compute_dtype,
+                      acts=acts),
         (x, tuple(weights)),
     )
 
 
-def _bwd(omega, compute_dtype, res, g):
+def _bwd(omega, compute_dtype, acts, res, g):
     x, weights = res
     interpret = not _is_tpu()
-    n_hidden = len(weights) // 2 - 1
+    acts = _default_acts(len(weights) // 2) if acts is None else acts
     orig_ndims = [w.ndim for w in weights]
     weights = [w[None, :] if w.ndim == 1 else w for w in weights]
     xp, P = _pad_rows(x, TILE_BWD)
@@ -231,7 +286,7 @@ def _bwd(omega, compute_dtype, res, g):
         out_specs.append(block_full(w))
 
     outs = pl.pallas_call(
-        _backward_kernel(omega, n_hidden, compute_dtype),
+        _backward_kernel(omega, acts, compute_dtype),
         out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=in_specs,
@@ -249,58 +304,227 @@ siren_fused.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# one-pass fused train-step gradient: forward + masked MSE + backward
+# ---------------------------------------------------------------------------
+
+
+def _loss_grad_kernel(omega: float, acts: tuple, compute_dtype, inv_n: float,
+                      n_rows: int, tile: int):
+    """Forward + MSE residual + backward in one tile visit.
+
+    Padded rows are masked out of the residual, so they contribute nothing to
+    the loss or the weight gradients. The scalar loss accumulates in a (1, 1)
+    block revisited across grid steps; dW/db accumulate likewise.
+    """
+    n_layers = len(acts)
+
+    def kernel(*refs):
+        # inputs: x, W0,b0..W_{n-1},b_{n-1}, target
+        # outputs: loss(1,1), dW0,db0, ..., dW_{n-1},db_{n-1}
+        n_in = 1 + 2 * n_layers + 1
+        x_ref = refs[0]
+        t_ref = refs[n_in - 1]
+        w_refs = refs[1:n_in - 1]
+        out_refs = refs[n_in:]
+        loss_ref = out_refs[0]
+        dW_refs = out_refs[1:]
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            loss_ref[:] = jnp.zeros_like(loss_ref)
+            for r in dW_refs:
+                r[:] = jnp.zeros_like(r)
+
+        out, inputs, factors = _recompute_forward(
+            x_ref, w_refs, acts, omega, compute_dtype
+        )
+        rows = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0) + i * tile
+        r = jnp.where(rows < n_rows, out - t_ref[:], 0.0)
+        loss_ref[0, 0] += jnp.sum(r * r) * inv_n
+        _backprop_weights(
+            w_refs, dW_refs, (2.0 * inv_n) * r, inputs, factors, acts, omega,
+            compute_dtype, need_dx=False,
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("omega", "compute_dtype", "acts", "interpret", "tile")
+)
+def siren_loss_grads(
+    x: Array,
+    weights: tuple,
+    target: Array,
+    omega: float = 30.0,
+    compute_dtype=None,
+    acts: tuple | None = None,
+    interpret: bool | None = None,
+    tile: int = TILE_BWD,
+):
+    """One-pass ``(mse_loss, dweights)`` for a full-batch train step.
+
+    Equivalent to ``jax.value_and_grad(lambda w: mse(forward(x, w), target))``
+    but in a single Pallas kernel: no separate forward pass, no dx, no HBM
+    round-trip of the network output.
+    """
+    interpret = (not _is_tpu()) if interpret is None else interpret
+    acts = _default_acts(len(weights) // 2) if acts is None else acts
+    orig_ndims = [w.ndim for w in weights]
+    weights = [w[None, :] if w.ndim == 1 else w for w in weights]
+    P = x.shape[0]
+    inv_n = 1.0 / (P * target.shape[-1])
+    xp, _ = _pad_rows(x, tile)
+    tp, _ = _pad_rows(target, tile)
+    grid = (xp.shape[0] // tile,)
+    ms = pl.ANY if interpret else pltpu.VMEM
+
+    def block_full(w):
+        return pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=ms)
+
+    in_specs = [pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0), memory_space=ms)]
+    in_specs += [block_full(w) for w in weights]
+    in_specs += [pl.BlockSpec((tile, target.shape[1]), lambda i: (i, 0), memory_space=ms)]
+
+    out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=ms)]
+    for w in weights:
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(block_full(w))
+
+    outs = pl.pallas_call(
+        _loss_grad_kernel(float(omega), acts, compute_dtype, inv_n, P, tile),
+        out_shape=tuple(out_shapes),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(xp, *weights, tp)
+    loss = outs[0][0, 0]
+    dW = tuple(d[0] if nd == 1 else d for d, nd in zip(outs[1:], orig_ndims))
+    return loss, dW
+
+
+# ---------------------------------------------------------------------------
 # flax-params adapter
 # ---------------------------------------------------------------------------
 
 
-def weights_from_flax(params) -> list:
-    """Flatten a models.Siren flax params tree into the kernel's weight list
-    (ordered SineLayer_0..n, final Dense)."""
-    p = params["params"]
+def _trunk_dense_keys(p) -> list:
+    """Ordered trunk layer keys: SineLayer_0..n then Dense_0[, Dense_1]."""
     sine_keys = sorted(
         (k for k in p if k.startswith("SineLayer_")), key=lambda k: int(k.split("_")[1])
     )
+    dense_keys = sorted(
+        (k for k in p if k.startswith("Dense_")), key=lambda k: int(k.split("_")[1])
+    )
+    return sine_keys + dense_keys
+
+
+def weights_from_flax(params) -> list:
+    """Flatten a Siren/SirenERD flax params tree into the kernel's weight
+    list (trunk only — the SirenERD perturb branch stays in XLA)."""
+    p = params["params"]
     out = []
-    for k in sine_keys:
-        d = p[k]["Dense_0"]
+    for k in _trunk_dense_keys(p):
+        d = p[k]["Dense_0"] if k.startswith("SineLayer_") else p[k]
         out.extend([d["kernel"], d["bias"]])
-    final = p["Dense_0"]
-    out.extend([final["kernel"], final["bias"]])
     return out
 
 
-def weights_to_flax(weights: Sequence[Array], template) -> dict:
-    """Inverse of :func:`weights_from_flax` onto a params template."""
-    p = jax.tree_util.tree_map(lambda x: x, template)
+def weights_to_flax(weights: Sequence[Array], template, fill_zeros: bool = False) -> dict:
+    """Inverse of :func:`weights_from_flax` onto a params template.
+
+    ``fill_zeros`` zeroes every non-trunk leaf (e.g. the SirenERD perturb
+    branch) — required when the result is a *gradient* pytree."""
+    if fill_zeros:
+        p = jax.tree_util.tree_map(jnp.zeros_like, template)
+    else:
+        p = jax.tree_util.tree_map(lambda x: x, template)
     inner = p["params"]
-    sine_keys = sorted(
-        (k for k in inner if k.startswith("SineLayer_")), key=lambda k: int(k.split("_")[1])
-    )
     idx = 0
-    for k in sine_keys:
-        inner[k]["Dense_0"]["kernel"] = weights[idx]
-        inner[k]["Dense_0"]["bias"] = weights[idx + 1]
+    for k in _trunk_dense_keys(inner):
+        d = inner[k]["Dense_0"] if k.startswith("SineLayer_") else inner[k]
+        d["kernel"] = weights[idx]
+        d["bias"] = weights[idx + 1]
         idx += 2
-    inner["Dense_0"]["kernel"] = weights[idx]
-    inner["Dense_0"]["bias"] = weights[idx + 1]
     return p
 
 
-def make_fused_apply(model, compute_dtype=None) -> "callable":
-    """Adapter: an ``apply(params, x)`` for a plain ``models.Siren`` that runs
-    through the fused Pallas kernel (drop-in for the fit-engine's apply_fn).
+def acts_for_model(model) -> tuple:
+    """Per-layer activation pattern of a model's trunk."""
+    from mri_super_resolution_tpu.models.siren import Siren, SirenERD, SirenToy
 
-    Gradients flow through the flax->flat weight reindexing, so
-    ``jax.grad`` over params hits the kernel's custom VJP. Only valid for the
-    plain Siren topology (SineLayer stack + final Dense).
+    n_sine = 1 + model.hidden_layers
+    if isinstance(model, SirenERD):
+        # trunk Linear+ReLU then final Linear+ReLU (INR_ERD.py:28-67)
+        return ("sine",) * n_sine + ("relu", "relu")
+    if isinstance(model, (Siren, SirenToy)):
+        return ("sine",) * n_sine + ("none",)
+    raise TypeError(f"no kernel activation pattern for {type(model).__name__}")
+
+
+def _perturb_delta(params, coords, sample, eps):
+    """SirenERD perturbation branch in XLA (tiny matmuls; INR_ERD.py:46-57)."""
+    p = params["params"]["perturb"]
+    acq = jnp.full(coords.shape[:-1] + (1,), sample, coords.dtype)
+    h = jnp.concatenate([coords, acq], axis=-1)
+    h = jnp.tanh(h @ p["Dense_0"]["kernel"] + p["Dense_0"]["bias"])
+    h = h @ p["Dense_1"]["kernel"] + p["Dense_1"]["bias"]
+    return eps * jnp.tanh(h)
+
+
+def make_fused_apply(model, compute_dtype=None) -> "callable":
+    """Adapter: an ``apply(params, x)`` for ``models.Siren`` /
+    ``models.SirenERD`` that runs the trunk through the fused Pallas kernel
+    (drop-in for the fit-engine's apply_fn).
+
+    Gradients flow through the flax->flat weight reindexing, so ``jax.grad``
+    over params hits the kernel's custom VJP. For SirenERD the perturbation
+    branch runs in XLA (3-wide matmuls) and its gradients flow through the
+    kernel's dx.
 
     ``compute_dtype=jnp.bfloat16`` runs the matmuls single-pass on the MXU
     with f32 accumulation and f32 master weights (fast-math mode).
     """
-    omega = float(model.hidden_omega_0)
+    from mri_super_resolution_tpu.models.siren import SirenERD, SirenToy
 
-    def apply(params, x):
+    omega = float(model.hidden_omega_0)
+    acts = acts_for_model(model)
+
+    if isinstance(model, (SirenERD, SirenToy)) and model.perturb:
+
+        def apply(params, coords, sample=0.0, eps=0.0):
+            coords = coords + _perturb_delta(params, coords, sample, eps)
+            ws = tuple(weights_from_flax(params))
+            return siren_fused(coords, ws, omega, compute_dtype, acts)
+
+        return apply
+
+    def apply(params, x, **_):
         ws = tuple(weights_from_flax(params))
-        return siren_fused(x, ws, omega, compute_dtype)
+        return siren_fused(x, ws, omega, compute_dtype, acts)
 
     return apply
+
+
+def make_fused_value_and_grad(model, compute_dtype=None, tile: int = TILE_BWD):
+    """A drop-in for ``jax.value_and_grad(lambda p: mse(apply(p, x), t))``
+    running the whole train-step gradient in one kernel pass.
+
+    Returns ``vag(params, x, target) -> (loss, grads)`` with ``grads``
+    matching the params pytree (non-trunk leaves zero).
+    """
+    omega = float(model.hidden_omega_0)
+    acts = acts_for_model(model)
+
+    def vag(params, x, target):
+        ws = tuple(weights_from_flax(params))
+        loss, dws = siren_loss_grads(
+            x, ws, target, omega, compute_dtype, acts, tile=tile
+        )
+        return loss, weights_to_flax(dws, params, fill_zeros=True)
+
+    return vag

@@ -6,10 +6,14 @@ import jax.numpy as jnp
 import pytest
 
 from mri_super_resolution_tpu.core.coords import mgrid
-from mri_super_resolution_tpu.models import Siren
+from mri_super_resolution_tpu.models import Siren, SirenERD
 from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+    acts_for_model,
+    make_fused_apply,
+    make_fused_value_and_grad,
     siren_forward,
     siren_fused,
+    siren_loss_grads,
     weights_from_flax,
     weights_to_flax,
 )
@@ -74,3 +78,107 @@ class TestVJPParity:
         gx_k = jax.grad(f_kernel)(x)
         gx_r = jax.grad(f_ref)(x)
         np.testing.assert_allclose(np.asarray(gx_k), np.asarray(gx_r), atol=5e-3)
+
+
+class TestLossGradsOnePass:
+    def test_matches_value_and_grad(self, setup):
+        model, params, x = setup
+        target = jnp.asarray(
+            np.random.default_rng(1).normal(size=(400, 1)).astype(np.float32)
+        )
+        vag = make_fused_value_and_grad(model)
+        loss_k, grads_k = vag(params, x, target)
+
+        def loss_ref(p):
+            return jnp.mean((model.apply(p, x) - target) ** 2)
+
+        loss_r, grads_r = jax.value_and_grad(loss_ref)(params)
+        np.testing.assert_allclose(float(loss_k), float(loss_r), rtol=1e-4)
+        for gk, gr in zip(jax.tree.leaves(grads_k), jax.tree.leaves(grads_r)):
+            np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=5e-4)
+
+    def test_padding_masked(self, setup):
+        """Rows beyond P must not leak into the loss or grads: P=400 is not a
+        multiple of any kernel tile, so comparing against the pure-XLA answer
+        already exercises the mask; also check a tiny P explicitly."""
+        model, params, _ = setup
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(13, 128)).astype(np.float32))
+        target = jnp.asarray(rng.normal(size=(13, 1)).astype(np.float32))
+        weights = tuple(weights_from_flax(params))
+        loss_k, _ = siren_loss_grads(x, weights, target)
+        loss_r = jnp.mean((model.apply(params, x) - target) ** 2)
+        np.testing.assert_allclose(float(loss_k), float(loss_r), rtol=1e-4)
+
+
+class TestSirenERDKernel:
+    @pytest.fixture(scope="class")
+    def erd_setup(self):
+        model = SirenERD(hidden_features=128, hidden_layers=2, perturb=True)
+        x = jnp.asarray(
+            np.random.default_rng(3).uniform(-1, 1, size=(300, 2)).astype(np.float32)
+        )
+        params = model.init(jax.random.key(1), x, 0.0, 0.0)
+        return model, params, x
+
+    def test_acts_pattern(self, erd_setup):
+        model, _, _ = erd_setup
+        assert acts_for_model(model) == ("sine", "sine", "sine", "relu", "relu")
+
+    def test_fused_apply_matches_flax(self, erd_setup):
+        model, params, x = erd_setup
+        apply = make_fused_apply(model)
+        for sample, eps in ((0.0, 0.0), (3.0, 1.0 / 128.0)):
+            ref = model.apply(params, x, sample=sample, eps=eps)
+            out = apply(params, x, sample=sample, eps=eps)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=2e-4,
+                err_msg=f"sample={sample} eps={eps}",
+            )
+
+    def test_fused_apply_gradients(self, erd_setup):
+        """Weighted-MSE grads through the kernel apply (the phase-2 loss shape)
+        must match flax — including the perturb branch via the kernel's dx."""
+        model, params, x = erd_setup
+        target = jnp.asarray(
+            np.random.default_rng(4).uniform(0, 1, size=(300, 1)).astype(np.float32)
+        )
+        apply = make_fused_apply(model)
+
+        def loss_k(p):
+            return jnp.mean((apply(p, x, sample=2.0, eps=1.0 / 64.0) - target) ** 2)
+
+        def loss_r(p):
+            return jnp.mean((model.apply(p, x, sample=2.0, eps=1.0 / 64.0) - target) ** 2)
+
+        gk = jax.grad(loss_k)(params)
+        gr = jax.grad(loss_r)(params)
+        flat_k = jax.tree_util.tree_leaves_with_path(gk)
+        flat_r = {jax.tree_util.keystr(kp): v for kp, v in jax.tree_util.tree_leaves_with_path(gr)}
+        for kp, vk in flat_k:
+            vr = flat_r[jax.tree_util.keystr(kp)]
+            np.testing.assert_allclose(
+                np.asarray(vk), np.asarray(vr), atol=5e-4, err_msg=jax.tree_util.keystr(kp)
+            )
+
+    def test_one_pass_grads_zero_perturb(self, erd_setup):
+        model, params, x = erd_setup
+        target = jnp.asarray(
+            np.random.default_rng(5).uniform(0, 1, size=(300, 1)).astype(np.float32)
+        )
+        vag = make_fused_value_and_grad(model)
+        loss_k, grads_k = vag(params, x, target)
+
+        def loss_ref(p):
+            return jnp.mean((model.apply(p, x, sample=0.0, eps=0.0) - target) ** 2)
+
+        loss_r, grads_r = jax.value_and_grad(loss_ref)(params)
+        np.testing.assert_allclose(float(loss_k), float(loss_r), rtol=1e-4)
+        # trunk grads match; perturb grads are zero in BOTH (eps=0 kills them)
+        for (kp, gk), gr in zip(
+            jax.tree_util.tree_leaves_with_path(grads_k), jax.tree.leaves(grads_r)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(gk), np.asarray(gr), atol=5e-4,
+                err_msg=jax.tree_util.keystr(kp),
+            )
