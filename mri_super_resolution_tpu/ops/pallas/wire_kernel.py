@@ -1,0 +1,383 @@
+"""Pallas TPU kernels for the WIRE (complex Gabor) hot path.
+
+Reference: ComplexGaborLayer2D (implicit-neural-representations/
+INRmodel.py:66-120), implemented repo-side as paired-real flax modules
+(models/wire.py) because TPU complex64 is slow/limited. These kernels fuse
+the whole paired-real network for a tile of coordinates, like the SIREN
+kernels (siren_kernel.py):
+
+- ``wire_forward``     — fused inference forward.
+- ``wire_loss_grads``  — one-pass (mse_loss, dweights) train-step gradient
+  with in-VMEM recompute; no dx (coordinates are constants in fit loops).
+
+Math per hidden layer (m = magnitude, u = log-magnitude):
+    s  = h K  + b     (complex linear;     s = sr + i si)
+    s2 = h K2 + b2    (Gaussian-window linear)
+    u  = -omega*si - sigma^2 (|s|^2 + |s2|^2);  m = exp(u)
+    h' = m * (cos(omega sr) + i sin(omega sr))
+Backward (dh'r, dh'i given):
+    dm  = dh'r cos + dh'i sin;        du = dm m
+    dsr = du (-2 sigma^2 sr) + omega m (dh'i cos - dh'r sin)
+    dsi = du (-omega - 2 sigma^2 si)
+    ds2 = du (-2 sigma^2 s2)
+then standard complex-linear transposes. The first layer is the real-input
+special case (si = s2i = 0, u has no -omega*si term, matching
+models/wire.py:83-89); the final layer is a complex linear whose real part is
+the output (imaginary-part weight gradients are zero).
+
+Weights travel as a flat list:
+    first layer:   W (d,H), b, Wo (d,H), bo
+    hidden layer:  Kr, Ki, br, bi, K2r, K2i, b2r, b2i
+    final layer:   Kr, Ki, br
+plus per-layer (omega, sigma) scalars passed as a (n_layers, 2) array
+(models/wire.py stores them as per-layer trainable params; the kernel path
+supports the reference-default trainable=False — their gradients are zero).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+    TILE,
+    TILE_BWD,
+    _dot,
+    _dot_ta,
+    _dot_tb,
+    _is_tpu,
+    _pad_rows,
+)
+
+Array = jax.Array
+
+FIRST_N = 4  # weights in the first layer
+HIDDEN_N = 8
+FINAL_N = 3
+
+
+def _n_weights(n_hidden: int) -> int:
+    return FIRST_N + HIDDEN_N * n_hidden + FINAL_N
+
+
+def _forward_tile(x, wr, oms, n_hidden, compute_dtype, stash: bool):
+    """Shared forward for one tile. ``wr`` = weight refs in flat order;
+    ``oms`` = (n_layers, 2) omega/sigma ref. Returns (out, stash_list)."""
+    saved = []
+
+    def sv(*vals):
+        if stash:
+            saved.append(tuple(v.astype(jnp.bfloat16) for v in vals))
+
+    om = oms[0, 0]
+    sg = oms[0, 1]
+    h = x
+    sr = _dot(h, wr[0][:], compute_dtype) + wr[1][:]
+    s2r = _dot(h, wr[2][:], compute_dtype) + wr[3][:]
+    u = -(sg * sg) * (sr * sr + s2r * s2r)
+    m = jnp.exp(u)
+    sv(sr, s2r, m)
+    hr = m * jnp.cos(om * sr)
+    hi = m * jnp.sin(om * sr)
+
+    for l in range(n_hidden):
+        base = FIRST_N + HIDDEN_N * l
+        om = oms[l + 1, 0]
+        sg = oms[l + 1, 1]
+        Kr, Ki = wr[base][:], wr[base + 1][:]
+        br, bi = wr[base + 2][:], wr[base + 3][:]
+        K2r, K2i = wr[base + 4][:], wr[base + 5][:]
+        b2r, b2i = wr[base + 6][:], wr[base + 7][:]
+        sv(hr, hi)
+        sr = _dot(hr, Kr, compute_dtype) - _dot(hi, Ki, compute_dtype) + br
+        si = _dot(hr, Ki, compute_dtype) + _dot(hi, Kr, compute_dtype) + bi
+        s2r = _dot(hr, K2r, compute_dtype) - _dot(hi, K2i, compute_dtype) + b2r
+        s2i = _dot(hr, K2i, compute_dtype) + _dot(hi, K2r, compute_dtype) + b2i
+        m = jnp.exp(-om * si - (sg * sg) * (sr * sr + si * si + s2r * s2r + s2i * s2i))
+        sv(sr, si, s2r, s2i, m)
+        hr = m * jnp.cos(om * sr)
+        hi = m * jnp.sin(om * sr)
+
+    base = FIRST_N + HIDDEN_N * n_hidden
+    sv(hr, hi)
+    out = _dot(hr, wr[base][:], compute_dtype) - _dot(hi, wr[base + 1][:], compute_dtype)
+    out = out + wr[base + 2][:]
+    return out, saved
+
+
+def _forward_kernel(n_hidden: int, compute_dtype=None):
+    def kernel(x_ref, oms_ref, *refs):
+        out_ref = refs[-1]
+        wr = refs[:-1]
+        out, _ = _forward_tile(
+            x_ref[:], wr, oms_ref[:], n_hidden, compute_dtype, stash=False
+        )
+        out_ref[:] = out
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_hidden", "interpret", "compute_dtype")
+)
+def wire_forward(x: Array, weights: Sequence[Array], omegas: Array,
+                 n_hidden: int, interpret: bool | None = None,
+                 compute_dtype=None) -> Array:
+    """Fused WIRE forward. ``omegas`` is (n_hidden+1, 2) [omega, sigma]."""
+    interpret = (not _is_tpu()) if interpret is None else interpret
+    assert len(weights) == _n_weights(n_hidden)
+    weights = [w[None, :] if w.ndim == 1 else w for w in weights]
+    out_dim = weights[-1].shape[-1]
+    xp, P = _pad_rows(x, TILE)
+    grid = (xp.shape[0] // TILE,)
+    ms = pl.ANY if interpret else pltpu.VMEM
+
+    in_specs = [
+        pl.BlockSpec((TILE, x.shape[1]), lambda i: (i, 0), memory_space=ms),
+        pl.BlockSpec(omegas.shape, lambda i: (0, 0), memory_space=ms),
+    ]
+    in_specs += [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=ms) for w in weights]
+
+    out = pl.pallas_call(
+        _forward_kernel(n_hidden, compute_dtype),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], out_dim), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TILE, out_dim), lambda i: (i, 0), memory_space=ms),
+        interpret=interpret,
+    )(xp, omegas, *weights)
+    return out[:P]
+
+
+def _loss_grad_kernel(n_hidden: int, compute_dtype, inv_n: float,
+                      n_rows: int, tile: int):
+    def kernel(*refs):
+        # inputs: x, omegas, w0..wN, target
+        # outputs: loss(1,1), dw0..dwN
+        nw = _n_weights(n_hidden)
+        x_ref = refs[0]
+        oms_ref = refs[1]
+        wr = refs[2 : 2 + nw]
+        t_ref = refs[2 + nw]
+        loss_ref = refs[3 + nw]
+        dw = refs[4 + nw :]
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            loss_ref[:] = jnp.zeros_like(loss_ref)
+            for r in dw:
+                r[:] = jnp.zeros_like(r)
+
+        out, saved = _forward_tile(
+            x_ref[:], wr, oms_ref[:], n_hidden, compute_dtype, stash=True
+        )
+        rows = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0) + i * tile
+        r = jnp.where(rows < n_rows, out - t_ref[:], 0.0)
+        loss_ref[0, 0] += jnp.sum(r * r) * inv_n
+        g = (2.0 * inv_n) * r
+
+        f32 = lambda t: tuple(v.astype(jnp.float32) for v in t)
+        s_first = saved[0]
+        s_hidden = [(saved[1 + 2 * l], saved[2 + 2 * l]) for l in range(n_hidden)]
+        s_final = saved[1 + 2 * n_hidden]
+
+        # final complex linear: out = hr Kr - hi Ki + br
+        base = FIRST_N + HIDDEN_N * n_hidden
+        hr, hi = f32(s_final)
+        dw[base][:] += _dot_ta(hr, g, compute_dtype)
+        dw[base + 1][:] += -_dot_ta(hi, g, compute_dtype)
+        dw[base + 2][:] += jnp.sum(g, axis=0, keepdims=True)
+        dhr = _dot_tb(g, wr[base][:], compute_dtype)
+        dhi = -_dot_tb(g, wr[base + 1][:], compute_dtype)
+
+        for l in reversed(range(n_hidden)):
+            base = FIRST_N + HIDDEN_N * l
+            om = oms_ref[l + 1, 0]
+            sg2 = oms_ref[l + 1, 1] * oms_ref[l + 1, 1]
+            (hr, hi) = f32(s_hidden[l][0])
+            (sr, si_, s2r, s2i, m) = f32(s_hidden[l][1])
+            c = jnp.cos(om * sr)
+            s = jnp.sin(om * sr)
+            du = (dhr * c + dhi * s) * m
+            dsr = du * (-2.0 * sg2 * sr) + om * m * (dhi * c - dhr * s)
+            dsi = du * (-om - 2.0 * sg2 * si_)
+            ds2r = du * (-2.0 * sg2 * s2r)
+            ds2i = du * (-2.0 * sg2 * s2i)
+
+            dw[base][:] += _dot_ta(hr, dsr, compute_dtype) + _dot_ta(hi, dsi, compute_dtype)
+            dw[base + 1][:] += _dot_ta(hr, dsi, compute_dtype) - _dot_ta(hi, dsr, compute_dtype)
+            dw[base + 2][:] += jnp.sum(dsr, axis=0, keepdims=True)
+            dw[base + 3][:] += jnp.sum(dsi, axis=0, keepdims=True)
+            dw[base + 4][:] += _dot_ta(hr, ds2r, compute_dtype) + _dot_ta(hi, ds2i, compute_dtype)
+            dw[base + 5][:] += _dot_ta(hr, ds2i, compute_dtype) - _dot_ta(hi, ds2r, compute_dtype)
+            dw[base + 6][:] += jnp.sum(ds2r, axis=0, keepdims=True)
+            dw[base + 7][:] += jnp.sum(ds2i, axis=0, keepdims=True)
+
+            dhr = (
+                _dot_tb(dsr, wr[base][:], compute_dtype)
+                + _dot_tb(dsi, wr[base + 1][:], compute_dtype)
+                + _dot_tb(ds2r, wr[base + 4][:], compute_dtype)
+                + _dot_tb(ds2i, wr[base + 5][:], compute_dtype)
+            )
+            dhi = (
+                -_dot_tb(dsr, wr[base + 1][:], compute_dtype)
+                + _dot_tb(dsi, wr[base][:], compute_dtype)
+                - _dot_tb(ds2r, wr[base + 5][:], compute_dtype)
+                + _dot_tb(ds2i, wr[base + 4][:], compute_dtype)
+            )
+
+        # first layer (real input; si = s2i = 0, u = -sigma^2 (sr^2 + s2r^2))
+        om = oms_ref[0, 0]
+        sg2 = oms_ref[0, 1] * oms_ref[0, 1]
+        (sr, s2r, m) = f32(s_first)
+        c = jnp.cos(om * sr)
+        s = jnp.sin(om * sr)
+        du = (dhr * c + dhi * s) * m
+        dsr = du * (-2.0 * sg2 * sr) + om * m * (dhi * c - dhr * s)
+        ds2r = du * (-2.0 * sg2 * s2r)
+        x = x_ref[:]
+        dw[0][:] += _dot_ta(x, dsr, compute_dtype)
+        dw[1][:] += jnp.sum(dsr, axis=0, keepdims=True)
+        dw[2][:] += _dot_ta(x, ds2r, compute_dtype)
+        dw[3][:] += jnp.sum(ds2r, axis=0, keepdims=True)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_hidden", "compute_dtype", "interpret", "tile")
+)
+def wire_loss_grads(
+    x: Array,
+    weights: tuple,
+    omegas: Array,
+    target: Array,
+    n_hidden: int,
+    compute_dtype=None,
+    interpret: bool | None = None,
+    tile: int = TILE_BWD,
+):
+    """One-pass ``(mse_loss, dweights)`` for a full-batch WIRE train step."""
+    interpret = (not _is_tpu()) if interpret is None else interpret
+    assert len(weights) == _n_weights(n_hidden)
+    orig_ndims = [w.ndim for w in weights]
+    weights = [w[None, :] if w.ndim == 1 else w for w in weights]
+    P = x.shape[0]
+    inv_n = 1.0 / (P * target.shape[-1])
+    xp, _ = _pad_rows(x, tile)
+    tp, _ = _pad_rows(target, tile)
+    grid = (xp.shape[0] // tile,)
+    ms = pl.ANY if interpret else pltpu.VMEM
+
+    def full(w):
+        return pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=ms)
+
+    in_specs = [pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0), memory_space=ms)]
+    in_specs += [full(omegas)]
+    in_specs += [full(w) for w in weights]
+    in_specs += [pl.BlockSpec((tile, target.shape[1]), lambda i: (i, 0), memory_space=ms)]
+
+    out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=ms)]
+    for w in weights:
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(full(w))
+
+    outs = pl.pallas_call(
+        _loss_grad_kernel(n_hidden, compute_dtype, inv_n, P, tile),
+        out_shape=tuple(out_shapes),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+    )(xp, omegas, *weights, tp)
+    loss = outs[0][0, 0]
+    dW = tuple(d[0] if nd == 1 else d for d, nd in zip(outs[1:], orig_ndims))
+    return loss, dW
+
+
+# ---------------------------------------------------------------------------
+# flax adapters (models.Wire)
+# ---------------------------------------------------------------------------
+
+
+def wire_weights_from_flax(params, n_hidden: int):
+    """Flatten a models.Wire params tree into the kernel order; also returns
+    the (n_layers, 2) omega/sigma array."""
+    p = params["params"]
+    first = p["ComplexGaborLayer_0"]
+    out = [
+        first["Dense_0"]["kernel"], first["Dense_0"]["bias"],
+        first["Dense_1"]["kernel"], first["Dense_1"]["bias"],
+    ]
+    oms = [[first["omega_0"][0], first["sigma_0"][0]]]
+    for l in range(n_hidden):
+        gl = p[f"ComplexGaborLayer_{l + 1}"]
+        lin, orth = gl["linear"], gl["scale_orth"]
+        out += [
+            lin["kernel_r"], lin["kernel_i"], lin["bias_r"], lin["bias_i"],
+            orth["kernel_r"], orth["kernel_i"], orth["bias_r"], orth["bias_i"],
+        ]
+        oms.append([gl["omega_0"][0], gl["sigma_0"][0]])
+    fin = p["final"]
+    out += [fin["kernel_r"], fin["kernel_i"], fin["bias_r"]]
+    return out, jnp.asarray(oms)
+
+
+def wire_grads_to_flax(dws: Sequence[Array], template, n_hidden: int) -> dict:
+    """Scatter flat kernel gradients back into a zeroed params pytree
+    (omega/sigma and the unused final bias_i stay zero — the reference
+    default is trainable=False)."""
+    g = jax.tree_util.tree_map(jnp.zeros_like, template)
+    p = g["params"]
+    first = p["ComplexGaborLayer_0"]
+    first["Dense_0"]["kernel"], first["Dense_0"]["bias"] = dws[0], dws[1]
+    first["Dense_1"]["kernel"], first["Dense_1"]["bias"] = dws[2], dws[3]
+    for l in range(n_hidden):
+        base = FIRST_N + HIDDEN_N * l
+        gl = p[f"ComplexGaborLayer_{l + 1}"]
+        lin, orth = gl["linear"], gl["scale_orth"]
+        (lin["kernel_r"], lin["kernel_i"], lin["bias_r"], lin["bias_i"]) = dws[base:base + 4]
+        (orth["kernel_r"], orth["kernel_i"], orth["bias_r"], orth["bias_i"]) = dws[base + 4:base + 8]
+    base = FIRST_N + HIDDEN_N * n_hidden
+    fin = p["final"]
+    fin["kernel_r"], fin["kernel_i"], fin["bias_r"] = dws[base:base + 3]
+    return g
+
+
+def make_wire_fused_apply(model, compute_dtype=None):
+    """Inference-path fused forward for ``models.Wire`` (no gradient flow —
+    training uses :func:`make_wire_value_and_grad`)."""
+    n_hidden = model.hidden_layers
+
+    def apply(params, x):
+        ws, oms = wire_weights_from_flax(params, n_hidden)
+        return wire_forward(x, tuple(ws), oms, n_hidden, compute_dtype=compute_dtype)
+
+    return apply
+
+
+def make_wire_value_and_grad(model, compute_dtype=None, tile: int = TILE_BWD):
+    """One-pass (loss, grads) for the WIRE MSE fit (reference default
+    trainable=False: omega/sigma gradients are zero)."""
+    if model.trainable:
+        raise NotImplementedError(
+            "kernel path supports the reference-default trainable=False; "
+            "use model.apply with XLA autodiff for trainable omega/sigma"
+        )
+    n_hidden = model.hidden_layers
+
+    def vag(params, x, target):
+        ws, oms = wire_weights_from_flax(params, n_hidden)
+        loss, dws = wire_loss_grads(
+            x, tuple(ws), oms, target, n_hidden, compute_dtype, tile=tile
+        )
+        return loss, wire_grads_to_flax(dws, params, n_hidden)
+
+    return vag

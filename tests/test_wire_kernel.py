@@ -1,0 +1,93 @@
+"""WIRE Pallas kernel parity vs the paired-real flax model (interpret mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from mri_super_resolution_tpu.models import Wire
+from mri_super_resolution_tpu.ops.pallas.wire_kernel import (
+    make_wire_fused_apply,
+    make_wire_value_and_grad,
+    wire_forward,
+    wire_weights_from_flax,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = Wire(hidden_features=128, hidden_layers=2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(300, 2)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+    return model, params, x
+
+
+class TestWireForward:
+    def test_matches_flax(self, setup):
+        model, params, x = setup
+        ws, oms = wire_weights_from_flax(params, model.hidden_layers)
+        out = wire_forward(x, tuple(ws), oms, model.hidden_layers)
+        ref = model.apply(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_fused_apply(self, setup):
+        model, params, x = setup
+        apply = make_wire_fused_apply(model)
+        np.testing.assert_allclose(
+            np.asarray(apply(params, x)), np.asarray(model.apply(params, x)), atol=2e-5
+        )
+
+
+class TestWireLossGrads:
+    def test_matches_autodiff(self, setup):
+        model, params, x = setup
+        target = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 1, size=(300, 1)).astype(np.float32)
+        )
+        vag = make_wire_value_and_grad(model)
+        loss_k, grads_k = vag(params, x, target)
+        loss_r, grads_r = jax.value_and_grad(
+            lambda p: jnp.mean((model.apply(p, x) - target) ** 2)
+        )(params)
+        np.testing.assert_allclose(float(loss_k), float(loss_r), rtol=1e-5)
+        # bf16 activation stash: per-leaf gradients within 2% relative of the
+        # f32 autodiff answer (same error class as the SIREN kernel stash)
+        for (kp, gk), gr in zip(
+            jax.tree_util.tree_leaves_with_path(grads_k), jax.tree.leaves(grads_r)
+        ):
+            scale = float(jnp.max(jnp.abs(gr))) + 1e-12
+            np.testing.assert_allclose(
+                np.asarray(gk), np.asarray(gr), atol=0.02 * scale,
+                err_msg=jax.tree_util.keystr(kp),
+            )
+
+    def test_trainable_rejected(self):
+        with pytest.raises(NotImplementedError):
+            make_wire_value_and_grad(Wire(trainable=True))
+
+    def test_training_converges(self, setup):
+        """Short Adam fit through the kernel path reaches the same loss
+        decade as the flax autodiff path."""
+        model, params, x = setup
+        y, xx = x[:, :1], x[:, 1:]
+        target = jnp.sin(3.0 * y) * jnp.cos(2.0 * xx)
+        vag = make_wire_value_and_grad(model)
+        tx = optax.adam(5e-3)
+
+        def fit(value_and_grad):
+            p = jax.tree.map(jnp.copy, params)
+            opt = tx.init(p)
+            loss = None
+            for _ in range(60):
+                loss, g = value_and_grad(p, x, target)
+                upd, opt = tx.update(g, opt)
+                p = optax.apply_updates(p, upd)
+            return float(loss)
+
+        ref_vag = lambda p, xx_, t: jax.value_and_grad(
+            lambda q: jnp.mean((model.apply(q, xx_) - t) ** 2)
+        )(p)
+        loss_kernel = fit(vag)
+        loss_ref = fit(ref_vag)
+        assert loss_kernel < 2.0 * loss_ref + 1e-4, (loss_kernel, loss_ref)
