@@ -34,6 +34,7 @@ LAYERS = 3
 
 
 def measure_jax(steps: int, use_pallas: bool = True) -> float:
+    """Flagship: FF-SIREN 512x3 full-batch fit via the one-pass fused kernel."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -41,7 +42,7 @@ def measure_jax(steps: int, use_pallas: bool = True) -> float:
     from mri_super_resolution_tpu.core.coords import fourier_matrix, fourier_encode, mgrid
     from mri_super_resolution_tpu.fit.engine import fit_simple
     from mri_super_resolution_tpu.models import Siren
-    from mri_super_resolution_tpu.ops.pallas.siren_kernel import make_fused_apply
+    from mri_super_resolution_tpu.ops.pallas.siren_kernel import make_fused_value_and_grad
     from mri_super_resolution_tpu.utils import time_jitted
 
     key = jax.random.key(0)
@@ -53,17 +54,87 @@ def measure_jax(steps: int, use_pallas: bool = True) -> float:
     params = model.init(key, ff[:8])
     tx = optax.adam(1e-4)
 
-    # fused Pallas kernel on TPU (31% faster than the XLA path); XLA on CPU
+    # one-pass fused Pallas train-step gradient on TPU; XLA autodiff on CPU
     on_tpu = jax.devices()[0].platform == "tpu"
-    apply_fn = make_fused_apply(model) if (use_pallas and on_tpu) else model.apply
+    vag = make_fused_value_and_grad(model) if (use_pallas and on_tpu) else None
 
     def run():
-        res = fit_simple(apply_fn, tx, jax.tree.map(jnp.copy, params), ff, target, steps)
+        res = fit_simple(
+            model.apply, tx, jax.tree.map(jnp.copy, params), ff, target, steps,
+            value_and_grad_fn=vag,
+        )
         return res.losses
 
     sec = time_jitted(run, repeats=3, warmup=1)
     voxels = coords.shape[0] * steps
     return voxels / sec
+
+
+def measure_erd(steps: int) -> float:
+    """SirenERD trunk (INR_ERD.py config: 2 -> 128x3 + ReLU head) full-slice
+    fit throughput via the one-pass fused kernel (128x128 coords/step)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mri_super_resolution_tpu.core.coords import mgrid
+    from mri_super_resolution_tpu.fit.engine import fit_simple
+    from mri_super_resolution_tpu.models import SirenERD
+    from mri_super_resolution_tpu.ops.pallas.siren_kernel import make_fused_value_and_grad
+    from mri_super_resolution_tpu.utils import time_jitted
+
+    coords = mgrid((128, 128))
+    key = jax.random.key(0)
+    target = jax.random.uniform(key, (coords.shape[0], 1))
+    model = SirenERD(hidden_features=128, hidden_layers=3, perturb=True)
+    params = model.init(key, coords, 0.0, 0.0)
+    tx = optax.adam(3e-4)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    vag = make_fused_value_and_grad(model) if on_tpu else None
+    apply_plain = lambda p, c: model.apply(p, c, sample=0.0, eps=0.0)
+
+    def run():
+        res = fit_simple(
+            apply_plain, tx, jax.tree.map(jnp.copy, params), coords, target, steps,
+            value_and_grad_fn=vag,
+        )
+        return res.losses
+
+    sec = time_jitted(run, repeats=3, warmup=1)
+    return coords.shape[0] * steps / sec
+
+
+def measure_wire(steps: int) -> float:
+    """WIRE (wiretest.ipynb config: 2 -> 256x2 Gabor) full-slice fit
+    throughput via the fused paired-real kernel."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mri_super_resolution_tpu.core.coords import mgrid
+    from mri_super_resolution_tpu.fit.engine import fit_simple
+    from mri_super_resolution_tpu.models import Wire
+    from mri_super_resolution_tpu.ops.pallas.wire_kernel import make_wire_value_and_grad
+    from mri_super_resolution_tpu.utils import time_jitted
+
+    coords = mgrid((128, 128))
+    key = jax.random.key(0)
+    target = jax.random.uniform(key, (coords.shape[0], 1))
+    model = Wire(hidden_features=256, hidden_layers=2)
+    params = model.init(key, coords)
+    tx = optax.adam(5e-3)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    vag = make_wire_value_and_grad(model) if on_tpu else None
+
+    def run():
+        res = fit_simple(
+            model.apply, tx, jax.tree.map(jnp.copy, params), coords, target, steps,
+            value_and_grad_fn=vag,
+        )
+        return res.losses
+
+    sec = time_jitted(run, repeats=3, warmup=1)
+    return coords.shape[0] * steps / sec
 
 
 def measure_torch(steps: int) -> float:
@@ -110,10 +181,24 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="fewer steps for smoke runs")
     ap.add_argument("--no-torch", action="store_true", help="reuse cached torch baseline")
+    ap.add_argument("--all", action="store_true",
+                    help="also print erd/wire model-family lines before the headline")
     args = ap.parse_args()
 
     steps = 30 if args.quick else 200
     torch_steps = 3 if args.quick else 10
+
+    if args.all:
+        for name, fn in (("erd", measure_erd), ("wire", measure_wire)):
+            print(
+                json.dumps(
+                    {
+                        "metric": f"{name}_fit_voxels_per_sec_per_chip",
+                        "value": round(fn(steps), 1),
+                        "unit": "voxels/sec/chip",
+                    }
+                )
+            )
 
     ours = measure_jax(steps)
 

@@ -104,11 +104,18 @@ def main():
     apply_fn = make_fused_apply(siren) if on_tpu else siren.apply
     run_model("ff_siren", apply_fn, sp, optax.adam(1e-4))
 
-    # GridINR on raw coords
+    # GridINR on raw coords — both the per-point-gather path (honest round-1
+    # negative result) and the separable tensor-product path (the TPU fix:
+    # trilinear interp over an mgrid is three dense contractions, no gathers)
+    from mri_super_resolution_tpu.models.grid_inr import make_tensor_apply
+
     inputs = coords
     grid = GridINR(num_levels=4, base_resolution=6, growth=2.0, hidden=64)
     gp = grid.init(key, coords[:8])
     run_model("grid_inr", grid.apply, gp, optax.adam(5e-3))
+    run_model(
+        "grid_inr_tensor", make_tensor_apply(grid, lr.shape), gp, optax.adam(5e-3)
+    )
 
 
 if __name__ == "__main__":

@@ -101,6 +101,91 @@ class GridINR(nn.Module):
         return nn.Dense(self.out_features)(h)
 
 
+# ---------------------------------------------------------------------------
+# Tensor-product (separable) evaluation — the TPU-fast path
+# ---------------------------------------------------------------------------
+#
+# Round-1 measurement: GridINR through per-point gathers took 66 s to 40 dB
+# vs 6 s for FF-SIREN — the gathers (and the scatter-adds in their backward)
+# are TPU-hostile at this scale. But every fit/inference grid in these
+# pipelines is ``mgrid(shape)`` — a tensor-product grid — and trilinear
+# interpolation is SEPARABLE on such grids: with per-axis interpolation
+# matrices Ax (nx, Rx), Ay, Az (each row two nonzeros), level features for
+# the whole grid are three small dense contractions
+#     (Ax x Ay x Az) grid  ==  einsum chains of plain matmuls,
+# and the backward is the transposed contractions — scatter-free, all MXU.
+
+
+def _axis_weights(n: int, R: int, dtype=jnp.float32) -> Array:
+    """(n, R) linear-interpolation matrix from R grid knots to n uniform
+    samples of [0, 1], with the same floor/clip convention as
+    :func:`_trilinear_gather` (so tensor and pointwise paths agree exactly)."""
+    pos = jnp.linspace(0.0, 1.0, n, dtype=dtype) * (R - 1)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, R - 2)
+    frac = pos - lo.astype(dtype)
+    return (
+        jax.nn.one_hot(lo, R, dtype=dtype) * (1.0 - frac)[:, None]
+        + jax.nn.one_hot(lo + 1, R, dtype=dtype) * frac[:, None]
+    )
+
+
+def _mlp_head(p: dict, h: Array) -> Array:
+    h = jax.nn.relu(h @ p["Dense_0"]["kernel"] + p["Dense_0"]["bias"])
+    h = jax.nn.relu(h @ p["Dense_1"]["kernel"] + p["Dense_1"]["bias"])
+    return h @ p["Dense_2"]["kernel"] + p["Dense_2"]["bias"]
+
+
+def grid_inr_tensor_apply(model: "GridINR", params, shape: tuple) -> Array:
+    """Evaluate a GridINR on the full ``mgrid(shape)`` grid separably.
+
+    Drop-in replacement for ``model.apply(params, mgrid(shape))`` whenever
+    the coordinates are the tensor-product grid itself (every fit and
+    dense-inference call in the pipelines). Returns (prod(shape), out).
+    """
+    nx, ny, nz, nb = shape
+    p = params["params"]
+    feats = []
+    for l in range(model.num_levels):
+        g = p[f"grid_{l}"]  # (Rx, Ry, Rz, F)
+        Rx, Ry, Rz, _ = g.shape
+        Ax = _axis_weights(nx, Rx, g.dtype)
+        Ay = _axis_weights(ny, Ry, g.dtype)
+        Az = _axis_weights(nz, Rz, g.dtype)
+        t = jnp.einsum("xa,abcf->xbcf", Ax, g)
+        t = jnp.einsum("yb,xbcf->xycf", Ay, t)
+        t = jnp.einsum("zc,xycf->xyzf", Az, t)
+        feats.append(t)
+
+    xyz = jnp.concatenate(feats, axis=-1)  # (nx, ny, nz, L*F)
+    # b axis: nb mgrid points in [-1, 1] snap to embedding slots
+    b_pos = jnp.clip(
+        jnp.round(jnp.linspace(0.0, 1.0, nb) * (model.num_b - 1)).astype(jnp.int32),
+        0,
+        model.num_b - 1,
+    )
+    b_feat = p["b_embedding"][b_pos]  # (nb, bF) — an nb-row gather, negligible
+
+    lf = xyz.shape[-1]
+    h = jnp.concatenate(
+        [
+            jnp.broadcast_to(xyz[:, :, :, None, :], (nx, ny, nz, nb, lf)),
+            jnp.broadcast_to(b_feat[None, None, None], (nx, ny, nz, nb, b_feat.shape[-1])),
+        ],
+        axis=-1,
+    ).reshape(nx * ny * nz * nb, lf + b_feat.shape[-1])
+    return _mlp_head(p, h)
+
+
+def make_tensor_apply(model: "GridINR", shape: tuple):
+    """apply(params, coords)-shaped adapter for the fit engine: ignores the
+    coords argument's values (they ARE mgrid(shape)) and evaluates separably."""
+
+    def apply(params, coords):
+        return grid_inr_tensor_apply(model, params, shape)
+
+    return apply
+
+
 class GridINR2D(nn.Module):
     """2-D variant for slice fitting (bilinear grids, no b axis)."""
 

@@ -59,3 +59,41 @@ class TestGridINR:
         o0 = float(model.apply(params, c0)[0, 0])
         o3 = float(model.apply(params, c3)[0, 0])
         assert o0 != o3
+
+
+class TestTensorApply:
+    def test_matches_pointwise(self, rng):
+        import jax
+        from mri_super_resolution_tpu.core.coords import mgrid
+        from mri_super_resolution_tpu.models.grid_inr import (
+            GridINR,
+            grid_inr_tensor_apply,
+            make_tensor_apply,
+        )
+
+        shape = (11, 9, 7, 4)
+        model = GridINR(num_levels=3, base_resolution=6, hidden=32)
+        coords = mgrid(shape)
+        params = model.init(jax.random.key(0), coords[:8])
+        ref = np.asarray(model.apply(params, coords))
+        out = np.asarray(grid_inr_tensor_apply(model, params, shape))
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+        out2 = np.asarray(make_tensor_apply(model, shape)(params, coords))
+        np.testing.assert_allclose(out2, ref, atol=1e-6)
+
+    def test_gradients_flow_to_grids(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from mri_super_resolution_tpu.core.coords import mgrid
+        from mri_super_resolution_tpu.models.grid_inr import GridINR, grid_inr_tensor_apply
+
+        shape = (8, 8, 4, 4)
+        model = GridINR(num_levels=2, base_resolution=4, hidden=16)
+        params = model.init(jax.random.key(0), mgrid(shape)[:8])
+
+        def loss(p):
+            return jnp.mean(grid_inr_tensor_apply(model, p, shape) ** 2)
+
+        g = jax.grad(loss)(params)
+        for l in range(2):
+            assert float(jnp.max(jnp.abs(g["params"][f"grid_{l}"]))) > 0.0
