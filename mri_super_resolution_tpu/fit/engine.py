@@ -261,6 +261,7 @@ def fit_alternating_pn(
     num_epochs: int = 2500,
     pn_epochs: int = 10,
     pn_eps: float = 1.0 / 128.0,
+    inr_value_and_grad: Callable | None = None,
 ) -> AlternatingResult:
     """superresDWI.py:132-156: ``num_epochs - pn_epochs`` INR-on-mean steps,
     then ``pn_epochs`` alternating steps — odd: INR-on-mean; even: one
@@ -269,6 +270,11 @@ def fit_alternating_pn(
     Quirk preserved: the PN consumes the *encoded* coords and its d-dim output
     is Fourier-encoded again before the INR (SRDWI.py:149-151) — so the INR
     sees gamma(PN(gamma(x))) rather than gamma(x + PN(...)).
+
+    ``inr_value_and_grad(params, coords, target) -> (loss, grads)`` overrides
+    autodiff for the INR-on-mean steps (the 2490-epoch hot loop) — the
+    one-pass fused kernel path. The PN branch keeps ``inr_apply`` (its
+    gradient flows through the INR's input).
     """
     inr_opt = inr_tx.init(inr_params)
     pn_opt = pn_tx.init(pn_params)
@@ -277,7 +283,10 @@ def fit_alternating_pn(
         def loss_fn(p):
             return mse(inr_apply(p, ff_coords), mean_target)
 
-        loss, grads = jax.value_and_grad(loss_fn)(inr_params)
+        if inr_value_and_grad is not None:
+            loss, grads = inr_value_and_grad(inr_params, ff_coords, mean_target)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(inr_params)
         updates, inr_opt = inr_tx.update(grads, inr_opt)
         return optax.apply_updates(inr_params, updates), inr_opt, loss
 

@@ -113,10 +113,15 @@ def run_patient(
     pn_params = pn.init(kP, ff[:8], 0, 0.0)
 
     on_tpu = jax.devices()[0].platform == "tpu"
+    inr_vag = None
     if cfg.use_pallas and on_tpu:
-        from mri_super_resolution_tpu.ops.pallas.siren_kernel import make_fused_apply
+        from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+            make_fused_apply,
+            make_fused_value_and_grad,
+        )
 
         inr_apply = make_fused_apply(inr)
+        inr_vag = make_fused_value_and_grad(inr)  # one-pass mean-fit steps
     else:
         inr_apply = inr.apply
 
@@ -134,6 +139,7 @@ def run_patient(
         num_epochs=cfg.number_of_epochs,
         pn_epochs=cfg.perturbation_epochs,
         pn_eps=cfg.pn_eps,
+        inr_value_and_grad=inr_vag,
     )
 
     # dense-grid inference (superresDWI.py:161-162)
