@@ -24,8 +24,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
-
 S_SLICES = 28  # slices in the anon volumes
 SHAPE = (25, 25, S_SLICES, 4)  # LR ROI voxel grid (superresDWI.py:92-100)
 MAPPING = 128
@@ -138,10 +136,14 @@ def measure_wire(steps: int) -> float:
 
 
 def measure_torch(steps: int) -> float:
-    """Reference PyTorch workload (superresDWI.py:105-145 semantics) on CPU."""
+    """Reference PyTorch workload (superresDWI.py:105-145 semantics) on CPU.
+
+    Pinned protocol (BASELINE.json measured_baselines): single torch thread
+    (1-core host), 2 warmup steps, identical shapes to measure_jax."""
     import torch
 
     torch.manual_seed(0)
+    torch.set_num_threads(1)
     P = 1
     for s in SHAPE:
         P *= s
@@ -202,13 +204,21 @@ def main():
 
     ours = measure_jax(steps)
 
-    baseline = None
-    if args.no_torch and os.path.exists(BASELINE_CACHE):
-        baseline = json.load(open(BASELINE_CACHE))["torch_cpu_voxels_per_sec"]
-    if baseline is None:
-        baseline = measure_torch(torch_steps)
-        with open(BASELINE_CACHE, "w") as f:
-            json.dump({"torch_cpu_voxels_per_sec": baseline}, f)
+    # baseline resolution: --no-torch -> the committed BASELINE.json number
+    # (pinned protocol, reproducible); otherwise re-measure with the same
+    # pinned protocol and report which source was used.
+    committed = None
+    baseline_json = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.json")
+    if os.path.exists(baseline_json):
+        committed = (
+            json.load(open(baseline_json))
+            .get("measured_baselines", {})
+            .get("torch_cpu_inr_fit_voxels_per_sec")
+        )
+    if args.no_torch and committed is not None:
+        baseline, source = committed, "BASELINE.json"
+    else:
+        baseline, source = measure_torch(torch_steps), "measured"
 
     print(
         json.dumps(
@@ -217,6 +227,8 @@ def main():
                 "value": round(ours, 1),
                 "unit": "voxels/sec/chip",
                 "vs_baseline": round(ours / baseline, 2),
+                "baseline_voxels_per_sec": round(baseline, 1),
+                "baseline_source": source,
             }
         )
     )
