@@ -48,7 +48,11 @@ class FitResult(NamedTuple):
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("apply_fn", "tx", "num_steps"), donate_argnames=("params",))
+@functools.partial(
+    jax.jit,
+    static_argnames=("apply_fn", "tx", "num_steps", "value_and_grad_fn"),
+    donate_argnames=("params",),
+)
 def fit_simple(
     apply_fn: Callable,
     tx: optax.GradientTransformation,
@@ -244,6 +248,7 @@ class AlternatingResult(NamedTuple):
         "pn_tx",
         "num_epochs",
         "pn_epochs",
+        "inr_value_and_grad",
     ),
     donate_argnames=("inr_params", "pn_params"),
 )

@@ -19,6 +19,14 @@ Provides:
   path: ~3 forward-equivalents of compute per step vs 4 for
   forward-kernel + value_and_grad-over-``siren_fused``.
 
+Measured on the v5e chip (flagship FF-SIREN 512x3, 70k coords full-batch):
+round-1 fwd+bwd kernels 10.4 ms/step -> one-pass kernel 6.4 ms -> one-pass +
+fast sincos 2.6 ms (26.6M voxels/s/chip). The builtin jnp.sin/jnp.cos pair
+was >half the step: each pays its own range reduction + long polynomial on
+the VPU. ``_fast_sincos`` shares one Cody-Waite reduction and uses
+Chebyshev polynomials (max err 7e-7 over |z|<=100); convergence parity vs
+XLA autodiff measured at rounding level over 600 steps.
+
 Per-layer activations are configurable via ``acts`` tuples ("sine", "relu",
 "none") so the same kernels serve plain Siren (sine..sine, none) and the
 SirenERD trunk (sine..sine, relu, relu).
@@ -95,8 +103,46 @@ def _default_acts(n_layers: int) -> tuple:
     return ("sine",) * (n_layers - 1) + ("none",)
 
 
-def _apply_act(z, act: str, omega: float):
+# Chebyshev-interpolation coefficients for sin/cos on [-pi, pi] (power basis;
+# max err 2.3e-9 / 2.1e-8 — below f32 matmul noise at these scales).
+_SIN_C = (9.999999992502e-01, -1.666666592189e-01, 8.333321235980e-03,
+          -1.984053155551e-04, 2.753580048721e-06, -2.472836651537e-08,
+          1.361159629708e-10)
+_COS_C = (1.0, -4.999999705697e-01, 4.166658304680e-02, -1.388820852935e-03,
+          2.477778555931e-05, -2.715012287254e-07, 1.748498650711e-09)
+_INV_2PI = 0.15915494309189535
+_PI2_HI = 6.28125  # Cody-Waite split of 2*pi (hi exact in f32)
+_PI2_LO = 0.0019353071795864769
+
+
+def _fast_sincos(z, need_cos: bool = True):
+    """sin(z) (and cos(z)) via ONE shared range reduction + short polynomials.
+
+    The TPU VPU has no sincos: builtin jnp.sin and jnp.cos each pay their own
+    range reduction + polynomial (~20 VPU ops apiece), and the SIREN backward
+    needs both of the pair. This shared-reduction version costs ~17 ops for
+    the pair. Cody-Waite two-step reduction keeps |error| < ~1e-7 for
+    |z| <~ 1e3 (SIREN pre-activations are |omega*z| <~ 1e2).
+    """
+    k = jnp.round(z * _INV_2PI)
+    r = (z - k * _PI2_HI) - k * _PI2_LO  # r in [-pi, pi]
+    r2 = r * r
+    s = _SIN_C[6]
+    for c in _SIN_C[5::-1]:
+        s = s * r2 + c
+    s = s * r
+    if not need_cos:
+        return s, None
+    c_ = _COS_C[6]
+    for c in _COS_C[5::-1]:
+        c_ = c_ * r2 + c
+    return s, c_
+
+
+def _apply_act(z, act: str, omega: float, fast: bool = False):
     if act == "sine":
+        if fast:
+            return _fast_sincos(omega * z, need_cos=False)[0]
         return jnp.sin(omega * z)
     if act == "relu":
         return jnp.maximum(z, 0.0)
@@ -105,16 +151,29 @@ def _apply_act(z, act: str, omega: float):
     raise ValueError(f"unknown activation {act!r}")
 
 
+def _act_and_factor(z, act: str, omega: float, fast: bool):
+    """(act(z), d act/dz factor) with the factor stashed bf16.
+
+    For sine the pair shares one range reduction when ``fast`` — the builtin
+    jnp.sin + jnp.cos pair pays two."""
+    if act == "sine":
+        if fast:
+            s, c = _fast_sincos(omega * z)
+        else:
+            s, c = jnp.sin(omega * z), jnp.cos(omega * z)
+        return s, c.astype(jnp.bfloat16)  # multiplied by omega later
+    if act == "relu":
+        return jnp.maximum(z, 0.0), (z > 0.0).astype(jnp.bfloat16)
+    return z, None
+
+
 def _act_factor(z, act: str, omega: float):
     """d act(z) / dz, stashed bf16 (see backward kernel notes)."""
-    if act == "sine":
-        return jnp.cos(omega * z).astype(jnp.bfloat16)  # multiplied by omega later
-    if act == "relu":
-        return (z > 0.0).astype(jnp.bfloat16)
-    return None
+    return _act_and_factor(z, act, omega, fast=False)[1]
 
 
-def _forward_kernel(omega: float, acts: tuple, compute_dtype=None):
+def _forward_kernel(omega: float, acts: tuple, compute_dtype=None,
+                    fast: bool = False):
     """Build the fused forward kernel body for the given activation pattern."""
     n_layers = len(acts)
 
@@ -125,7 +184,7 @@ def _forward_kernel(omega: float, acts: tuple, compute_dtype=None):
         for l in range(n_layers):
             W = refs[2 * l][:]
             b = refs[2 * l + 1][:]  # (1, n) — biases are kept 2-D in-kernel
-            h = _apply_act(_dot(h, W, compute_dtype) + b, acts[l], omega)
+            h = _apply_act(_dot(h, W, compute_dtype) + b, acts[l], omega, fast)
         out_ref[:] = h
 
     return kernel
@@ -140,11 +199,12 @@ def _pad_rows(x: Array, tile: int) -> tuple[Array, int]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("omega", "interpret", "compute_dtype", "acts")
+    jax.jit,
+    static_argnames=("omega", "interpret", "compute_dtype", "acts", "fast_sincos"),
 )
 def siren_forward(x: Array, weights: Sequence[Array], omega: float = 30.0,
                   interpret: bool | None = None, compute_dtype=None,
-                  acts: tuple | None = None) -> Array:
+                  acts: tuple | None = None, fast_sincos: bool = False) -> Array:
     """Fused MLP forward. ``weights`` = [W1, b1, ..., Wout, bout];
     ``acts`` = per-layer activations (default: plain-Siren pattern)."""
     interpret = (not _is_tpu()) if interpret is None else interpret
@@ -161,7 +221,7 @@ def siren_forward(x: Array, weights: Sequence[Array], omega: float = 30.0,
     in_specs += [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=ms) for w in weights]
 
     out = pl.pallas_call(
-        _forward_kernel(omega, acts, compute_dtype),
+        _forward_kernel(omega, acts, compute_dtype, fast_sincos),
         out_shape=jax.ShapeDtypeStruct((xp.shape[0], out_dim), jnp.float32),
         grid=grid,
         in_specs=in_specs,
@@ -176,43 +236,60 @@ def siren_forward(x: Array, weights: Sequence[Array], omega: float = 30.0,
 # ---------------------------------------------------------------------------
 
 
-def _recompute_forward(x_ref, refs, acts, omega, compute_dtype):
+def _recompute_forward(x_ref, refs, acts, omega, compute_dtype, fast: bool = False):
     """Forward recompute for one tile, stashing per-layer inputs and
     activation-derivative factors.
 
     Inputs/factors are stashed in bf16: halves the VMEM working set (tile 512
     instead of 256); dW error class matches bf16-compute, measured within
-    noise of f32 on the flagship fit. Returns (h, layer_inputs, factors).
+    noise of f32 on the flagship fit. With ``compute_dtype=bf16`` the stash
+    cast doubles as the matmul operand, so the downcast is the ONLY extra
+    elementwise pass per layer (no second cast inside the dot).
+    Returns (h, layer_inputs, factors).
     """
     h = x_ref[:]
     inputs = []
     factors = []
     for l, act in enumerate(acts):
-        inputs.append(h.astype(jnp.bfloat16))
+        h_s = h.astype(jnp.bfloat16)
+        inputs.append(h_s)
         W = refs[2 * l][:]
         b = refs[2 * l + 1][:]
-        z = _dot(h, W, compute_dtype) + b
-        factors.append(_act_factor(z, act, omega))
-        h = _apply_act(z, act, omega)
+        z = _dot(h_s if compute_dtype is not None else h, W, compute_dtype) + b
+        h, factor = _act_and_factor(z, act, omega, fast)
+        factors.append(factor)
     return h, inputs, factors
 
 
 def _backprop_weights(refs, dW_refs, delta, inputs, factors, acts, omega,
                       compute_dtype, need_dx: bool):
-    """Shared backward chain: accumulate dW/db per layer; optionally return dx."""
+    """Shared backward chain: accumulate dW/db per layer; optionally return dx.
+
+    With ``compute_dtype=bf16`` the bf16 activation stash feeds the MXU
+    directly (single-pass matmul, f32 accumulation) and delta is downcast
+    once per layer, shared between the dW and the delta-chain matmuls — no
+    f32 upcasts of (tile, width) stashes."""
     for l in reversed(range(len(acts))):
         if acts[l] == "sine":
             delta = delta * (omega * factors[l].astype(jnp.float32))
         elif acts[l] == "relu":
             delta = delta * factors[l].astype(jnp.float32)
-        dW_refs[2 * l][:] += _dot_ta(inputs[l].astype(jnp.float32), delta, compute_dtype)
-        dW_refs[2 * l + 1][:] += jnp.sum(delta, axis=0, keepdims=True)
-        if l > 0 or need_dx:
-            delta = _dot_tb(delta, refs[2 * l][:], compute_dtype)
+        if compute_dtype is not None:
+            d_lp = delta.astype(compute_dtype)
+            dW_refs[2 * l][:] += _dot_ta(inputs[l], d_lp, None)
+            dW_refs[2 * l + 1][:] += jnp.sum(delta, axis=0, keepdims=True)
+            if l > 0 or need_dx:
+                delta = _dot_tb(d_lp, refs[2 * l][:], compute_dtype)
+        else:
+            dW_refs[2 * l][:] += _dot_ta(inputs[l].astype(jnp.float32), delta, None)
+            dW_refs[2 * l + 1][:] += jnp.sum(delta, axis=0, keepdims=True)
+            if l > 0 or need_dx:
+                delta = _dot_tb(delta, refs[2 * l][:], None)
     return delta
 
 
-def _backward_kernel(omega: float, acts: tuple, compute_dtype=None):
+def _backward_kernel(omega: float, acts: tuple, compute_dtype=None,
+                     fast: bool = False):
     """Recompute activations for the tile, then backprop, accumulating dW/db
     into revisited output blocks."""
     n_layers = len(acts)
@@ -236,7 +313,7 @@ def _backward_kernel(omega: float, acts: tuple, compute_dtype=None):
                 r[:] = jnp.zeros_like(r)
 
         _, inputs, factors = _recompute_forward(
-            x_ref, w_refs, acts, omega, compute_dtype
+            x_ref, w_refs, acts, omega, compute_dtype, fast
         )
         dx_ref[:] = _backprop_weights(
             w_refs, dW_refs, g_ref[:], inputs, factors, acts, omega,
@@ -246,22 +323,23 @@ def _backward_kernel(omega: float, acts: tuple, compute_dtype=None):
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def siren_fused(x: Array, weights: tuple, omega: float = 30.0,
-                compute_dtype=None, acts: tuple | None = None) -> Array:
+                compute_dtype=None, acts: tuple | None = None,
+                fast_sincos: bool = False) -> Array:
     return siren_forward(x, list(weights), omega, compute_dtype=compute_dtype,
-                         acts=acts)
+                         acts=acts, fast_sincos=fast_sincos)
 
 
-def _fwd(x, weights, omega, compute_dtype, acts):
+def _fwd(x, weights, omega, compute_dtype, acts, fast_sincos):
     return (
         siren_forward(x, list(weights), omega, compute_dtype=compute_dtype,
-                      acts=acts),
+                      acts=acts, fast_sincos=fast_sincos),
         (x, tuple(weights)),
     )
 
 
-def _bwd(omega, compute_dtype, acts, res, g):
+def _bwd(omega, compute_dtype, acts, fast_sincos, res, g):
     x, weights = res
     interpret = not _is_tpu()
     acts = _default_acts(len(weights) // 2) if acts is None else acts
@@ -286,7 +364,7 @@ def _bwd(omega, compute_dtype, acts, res, g):
         out_specs.append(block_full(w))
 
     outs = pl.pallas_call(
-        _backward_kernel(omega, acts, compute_dtype),
+        _backward_kernel(omega, acts, compute_dtype, fast_sincos),
         out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=in_specs,
@@ -309,7 +387,7 @@ siren_fused.defvjp(_fwd, _bwd)
 
 
 def _loss_grad_kernel(omega: float, acts: tuple, compute_dtype, inv_n: float,
-                      n_rows: int, tile: int):
+                      n_rows: int, tile: int, fast: bool = False):
     """Forward + MSE residual + backward in one tile visit.
 
     Padded rows are masked out of the residual, so they contribute nothing to
@@ -338,11 +416,12 @@ def _loss_grad_kernel(omega: float, acts: tuple, compute_dtype, inv_n: float,
                 r[:] = jnp.zeros_like(r)
 
         out, inputs, factors = _recompute_forward(
-            x_ref, w_refs, acts, omega, compute_dtype
+            x_ref, w_refs, acts, omega, compute_dtype, fast
         )
         rows = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0) + i * tile
         r = jnp.where(rows < n_rows, out - t_ref[:], 0.0)
-        loss_ref[0, 0] += jnp.sum(r * r) * inv_n
+        # (1, 1)-shaped store: Mosaic rejects scalar stores to VMEM
+        loss_ref[:] = loss_ref[:] + jnp.sum(r * r).reshape(1, 1) * inv_n
         _backprop_weights(
             w_refs, dW_refs, (2.0 * inv_n) * r, inputs, factors, acts, omega,
             compute_dtype, need_dx=False,
@@ -352,7 +431,9 @@ def _loss_grad_kernel(omega: float, acts: tuple, compute_dtype, inv_n: float,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("omega", "compute_dtype", "acts", "interpret", "tile")
+    jax.jit,
+    static_argnames=("omega", "compute_dtype", "acts", "interpret", "tile",
+                     "fast_sincos"),
 )
 def siren_loss_grads(
     x: Array,
@@ -363,6 +444,7 @@ def siren_loss_grads(
     acts: tuple | None = None,
     interpret: bool | None = None,
     tile: int = TILE_BWD,
+    fast_sincos: bool = False,
 ):
     """One-pass ``(mse_loss, dweights)`` for a full-batch train step.
 
@@ -395,7 +477,8 @@ def siren_loss_grads(
         out_specs.append(block_full(w))
 
     outs = pl.pallas_call(
-        _loss_grad_kernel(float(omega), acts, compute_dtype, inv_n, P, tile),
+        _loss_grad_kernel(float(omega), acts, compute_dtype, inv_n, P, tile,
+                          fast_sincos),
         out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=in_specs,
@@ -476,7 +559,7 @@ def _perturb_delta(params, coords, sample, eps):
     return eps * jnp.tanh(h)
 
 
-def make_fused_apply(model, compute_dtype=None) -> "callable":
+def make_fused_apply(model, compute_dtype=None, fast_sincos: bool = True) -> "callable":
     """Adapter: an ``apply(params, x)`` for ``models.Siren`` /
     ``models.SirenERD`` that runs the trunk through the fused Pallas kernel
     (drop-in for the fit-engine's apply_fn).
@@ -499,31 +582,69 @@ def make_fused_apply(model, compute_dtype=None) -> "callable":
         def apply(params, coords, sample=0.0, eps=0.0):
             coords = coords + _perturb_delta(params, coords, sample, eps)
             ws = tuple(weights_from_flax(params))
-            return siren_fused(coords, ws, omega, compute_dtype, acts)
+            return siren_fused(coords, ws, omega, compute_dtype, acts, fast_sincos)
 
         return apply
 
     def apply(params, x, **_):
         ws = tuple(weights_from_flax(params))
-        return siren_fused(x, ws, omega, compute_dtype, acts)
+        return siren_fused(x, ws, omega, compute_dtype, acts, fast_sincos)
 
     return apply
 
 
-def make_fused_value_and_grad(model, compute_dtype=None, tile: int = TILE_BWD):
+def make_fused_value_and_grad(model, compute_dtype=None, tile: int = 512,
+                              fold_omega: bool = False, fast_sincos: bool = True):
     """A drop-in for ``jax.value_and_grad(lambda p: mse(apply(p, x), t))``
     running the whole train-step gradient in one kernel pass.
+
+    ``fold_omega`` pre-scales each sine layer's (W, b) by its omega outside
+    the kernel — ``sin(omega(xW+b)) == sin(x(omega W)+omega b)`` — so the
+    kernel runs with omega=1 and the per-layer ``omega*z`` (forward) and
+    ``omega*cos`` (backward) elementwise passes over (tile, width) tensors
+    const-fold away; the rescale touches only the parameter-sized gradients
+    once per step. Also makes distinct first/hidden omegas exact (the
+    unfolded kernel assumes one omega).
 
     Returns ``vag(params, x, target) -> (loss, grads)`` with ``grads``
     matching the params pytree (non-trunk leaves zero).
     """
     omega = float(model.hidden_omega_0)
+    first_omega = float(getattr(model, "first_omega_0", omega))
     acts = acts_for_model(model)
+
+    if fold_omega:
+        scales = tuple(
+            (first_omega if l == 0 else omega) if acts[l] == "sine" else 1.0
+            for l in range(len(acts))
+        )
+
+        def vag(params, x, target):
+            ws = weights_from_flax(params)
+            ws_f = tuple(
+                w * scales[i // 2] if scales[i // 2] != 1.0 else w
+                for i, w in enumerate(ws)
+            )
+            loss, dws = siren_loss_grads(
+                x, ws_f, target, 1.0, compute_dtype, acts, tile=tile,
+                fast_sincos=fast_sincos,
+            )
+            dws = tuple(
+                d * scales[i // 2] if scales[i // 2] != 1.0 else d
+                for i, d in enumerate(dws)
+            )
+            return loss, weights_to_flax(dws, params, fill_zeros=True)
+
+        return vag
+
+    if first_omega != omega:
+        raise ValueError("distinct first/hidden omega requires fold_omega=True")
 
     def vag(params, x, target):
         ws = tuple(weights_from_flax(params))
         loss, dws = siren_loss_grads(
-            x, ws, target, omega, compute_dtype, acts, tile=tile
+            x, ws, target, omega, compute_dtype, acts, tile=tile,
+            fast_sincos=fast_sincos,
         )
         return loss, weights_to_flax(dws, params, fill_zeros=True)
 
