@@ -41,7 +41,10 @@ def main():
     from mri_super_resolution_tpu.data import load_mat, synthetic
     from mri_super_resolution_tpu.fit.engine import fit_simple
     from mri_super_resolution_tpu.models import Siren, GridINR
-    from mri_super_resolution_tpu.ops.pallas.siren_kernel import make_fused_apply
+    from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+        make_fused_apply,
+        make_fused_value_and_grad,
+    )
 
     # workload: LR ROI volume mean of synthesized pat07 hybrid
     data_dir = os.environ.get("MRI_SR_DATA_DIR", "/root/reference/anon_data")
@@ -61,17 +64,17 @@ def main():
     coords = mgrid(lr.shape)
     data_range = float(lr.max() - lr.min())
 
-    def run_model(name, apply_fn, params, tx):
+    def run_model(name, apply_fn, params, tx, vag=None):
         results = {}
         elapsed = 0.0
         done = 0
         # compile chunk once
-        warm = fit_simple(apply_fn, tx, jax.tree.map(jnp.copy, params), inputs, target, args.chunk)
+        warm = fit_simple(apply_fn, tx, jax.tree.map(jnp.copy, params), inputs, target, args.chunk, value_and_grad_fn=vag)
         jax.device_get(warm.losses)
         p = params
         while done < args.max_steps:
             t0 = time.perf_counter()
-            res = fit_simple(apply_fn, tx, p, inputs, target, args.chunk)
+            res = fit_simple(apply_fn, tx, p, inputs, target, args.chunk, value_and_grad_fn=vag)
             loss = float(jax.device_get(res.losses[-1]))
             elapsed += time.perf_counter() - t0
             p = res.params
@@ -102,7 +105,8 @@ def main():
     siren = Siren(hidden_features=512, hidden_layers=3)
     sp = siren.init(key, inputs[:8])
     apply_fn = make_fused_apply(siren) if on_tpu else siren.apply
-    run_model("ff_siren", apply_fn, sp, optax.adam(1e-4))
+    vag = make_fused_value_and_grad(siren) if on_tpu else None
+    run_model("ff_siren", apply_fn, sp, optax.adam(1e-4), vag=vag)
 
     # GridINR on raw coords — both the per-point-gather path (honest round-1
     # negative result) and the separable tensor-product path (the TPU fix:

@@ -32,6 +32,11 @@ def build_cases(limit=None, num_acq=9, data_dir=None):
             dtype=np.float32,
         )
         b = (0.0, 150.0, 1000.0, 1500.0) if row["b"] == 1500.0 else (0.0, 300.0, 600.0, 900.0)
+        # unit-scale the case: the reference's bigImage volumes are
+        # unit-order (its loss-threshold while-loops assume it) — raw
+        # scanner intensities (~0-400 here) would make loss < 2e-5
+        # unreachable and run the pre-train to its 100k-step cap
+        b0 = b0 / (float(b0.max()) + 1e-12)
         b3 = synthetic.acquisitions_from_b0(b0, num_acq=num_acq, b=b[3], seed=int(pt_no))
         cases.append(
             inr_erd.ERDCase(
