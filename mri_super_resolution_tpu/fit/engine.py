@@ -115,30 +115,43 @@ def fit_ensemble(
     eval_coords_scale: Array,  # (P*s^2, d)
     total_steps: int,
     seg: int,
+    valid: Array | None = None,  # (A,) mask for padded acquisition slots
 ) -> EnsembleResult:
     """The master.py:137-160 loop: each step does one Adam update per
     acquisition (weighted MSE); the last ``seg`` steps also evaluate the INR
     on the 1x and scale-x grids and accumulate the predictions (averaged on
-    return)."""
+    return).
+
+    ``valid`` marks real acquisition slots: padded slots (vmapped directions
+    with unequal counts) leave params AND optimizer state untouched, so
+    Adam's bias-correction count matches the reference's per-direction loop
+    exactly — a zero-weight update would still advance the count and decay
+    the moments."""
     opt_state = tx.init(params)
+    if valid is None:
+        valid = jnp.ones((pixels.shape[0],), bool)
+    n_valid = jnp.maximum(valid.sum(), 1)
 
     def one_acq_update(carry, inputs):
         params, opt_state = carry
-        target, w = inputs
+        target, w, ok = inputs
 
         def loss_fn(p):
             return weighted_mse(apply_fn(p, coords), target, w)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
+        updates, new_opt = tx.update(grads, opt_state)
+        new_params = optax.apply_updates(params, updates)
+        keep = lambda old, new: jax.tree.map(
+            lambda a, b: jnp.where(ok, b, a), old, new
+        )
+        return (keep(params, new_params), keep(opt_state, new_opt)), jnp.where(ok, loss, 0.0)
 
     def train_one_step(params, opt_state):
         (params, opt_state), losses = jax.lax.scan(
-            one_acq_update, (params, opt_state), (pixels, weights)
+            one_acq_update, (params, opt_state), (pixels, weights, valid)
         )
-        return params, opt_state, losses.mean()
+        return params, opt_state, losses.sum() / n_valid
 
     def head_step(carry, _):
         params, opt_state = carry

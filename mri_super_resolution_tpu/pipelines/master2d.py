@@ -101,11 +101,10 @@ def fit_directions(
     Normalize(0.5, 0.5) space.
 
     Directions with fewer acquisitions than the max are padded with
-    zero-weight slots so the vmap shapes match. A padded slot contributes a
-    zero gradient but still advances Adam's bias-correction count for that
-    direction (one extra zero-update per step vs the reference's loop) —
-    immaterial in practice and exact when counts are equal (the shipped
-    registry uses 9/9/9).
+    zero-weight slots so the vmap shapes match; the per-slot validity mask
+    makes padded slots leave params AND optimizer state untouched, so
+    unequal acquisition counts match the reference's per-direction loop
+    exactly (Adam update counts included).
     """
     H, W, _ = roi_dwi.shape
     D = len(acquisitions)
@@ -130,13 +129,19 @@ def fit_directions(
     params_stack = jax.vmap(lambda k: model.init(k, coords[:4]))(keys)
     tx = optax.adam(cfg.learning_rate)
 
-    def one_direction(params, pix, w):
+    valid = np.zeros((D, A_max), dtype=bool)
+    for d, n in enumerate(acquisitions):
+        valid[d, :n] = True
+
+    def one_direction(params, pix, w, ok):
         return fit_ensemble(
             model.apply, tx, params, coords, pix, w, coords, coords_s,
-            total_steps=cfg.total_steps, seg=cfg.seg,
+            total_steps=cfg.total_steps, seg=cfg.seg, valid=ok,
         )
 
-    res = jax.vmap(one_direction)(params_stack, jnp.asarray(pixels), jnp.asarray(weights))
+    res = jax.vmap(one_direction)(
+        params_stack, jnp.asarray(pixels), jnp.asarray(weights), jnp.asarray(valid)
+    )
     pred_1x = np.asarray(res.pred_1x).reshape(D, H, W)
     pred_s = np.asarray(res.pred_scale).reshape(D, H * cfg.scale, W * cfg.scale)
     return pred_1x, pred_s

@@ -86,3 +86,49 @@ class TestMaster2D:
         # outlier acquisition rejected for most pixels
         assert accept_roi[..., 0].mean() < 0.3
         assert accept_roi[..., 1:].mean() > 0.8
+
+
+class TestPaddedDirectionParity:
+    def test_unequal_counts_match_standalone_fit(self, rng):
+        """A direction padded inside the vmapped fit must produce exactly the
+        same ensemble predictions as fitting it alone (Adam-count parity)."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from mri_super_resolution_tpu.config import Master2DConfig
+        from mri_super_resolution_tpu.core.coords import mgrid
+        from mri_super_resolution_tpu.core.normalize import to_tensor_normalize
+        from mri_super_resolution_tpu.fit.engine import fit_ensemble
+        from mri_super_resolution_tpu.models import Siren
+        from mri_super_resolution_tpu.pipelines.master2d import fit_directions
+
+        H = W = 12
+        counts = (4, 2)  # unequal: direction 1 gets 2 padded slots
+        A_total = sum(counts)
+        roi = rng.uniform(0.2, 1.0, size=(H, W, A_total)).astype(np.float32)
+        accept = np.ones_like(roi)
+        cfg = Master2DConfig(
+            hidden_features=16, hidden_layers=1, total_steps=6, seg=2, scale=2
+        )
+        seed = 0
+        pred_1x, _ = fit_directions(roi, accept, counts, cfg, seed)
+
+        # standalone fit of direction 1 (the padded one)
+        coords = mgrid((H, W))
+        coords_s = mgrid((H * cfg.scale, W * cfg.scale))
+        model = Siren(hidden_features=16, hidden_layers=1, out_features=1)
+        keys = jax.random.split(jax.random.key(seed), 2)
+        params = model.init(keys[1], coords[:4])
+        pix = jnp.asarray(
+            np.stack(
+                [to_tensor_normalize(roi[:, :, 4 + i]).reshape(-1, 1) for i in range(2)]
+            )
+        )
+        w = jnp.ones_like(pix)
+        res = fit_ensemble(
+            model.apply, optax.adam(cfg.learning_rate), params, coords, pix, w,
+            coords, coords_s, total_steps=cfg.total_steps, seg=cfg.seg,
+        )
+        ref = np.asarray(res.pred_1x).reshape(H, W)
+        np.testing.assert_allclose(pred_1x[1], ref, atol=1e-6)
