@@ -71,7 +71,9 @@ def main():
         # compile chunk once
         warm = fit_simple(apply_fn, tx, jax.tree.map(jnp.copy, params), inputs, target, args.chunk, value_and_grad_fn=vag)
         jax.device_get(warm.losses)
-        p = params
+        # fit_simple donates its params: work on a copy so the caller's
+        # pytree survives for reuse by another run_model
+        p = jax.tree.map(jnp.copy, params)
         while done < args.max_steps:
             t0 = time.perf_counter()
             res = fit_simple(apply_fn, tx, p, inputs, target, args.chunk, value_and_grad_fn=vag)
