@@ -32,7 +32,7 @@ from mri_super_resolution_tpu.config import INRERDConfig
 from mri_super_resolution_tpu.core.adc import adc_log_ratio
 from mri_super_resolution_tpu.core.coords import mgrid
 from mri_super_resolution_tpu.core.metrics import cnr_snr_log10
-from mri_super_resolution_tpu.core.normalize import rayleigh_noise_std, to_tensor_normalize
+from mri_super_resolution_tpu.core.normalize import rayleigh_noise_std
 from mri_super_resolution_tpu.data import MetricsCSV, CNR_SNR_HEADER
 from mri_super_resolution_tpu.fit.engine import fit_until
 from mri_super_resolution_tpu.models import SirenERD
@@ -103,7 +103,11 @@ def run_case(
     )
 
     coords = mgrid((H, W))
-    target = jnp.asarray(to_tensor_normalize(erd_mean).reshape(-1, 1))
+    # [0, 1]-space target (not Normalize(0.5, 0.5)): the ReLU output head
+    # cannot emit negatives, so on unit-scale volumes the normalized
+    # background would sit below the representable range and the
+    # loss-threshold while-loop could never fire (see lowres_qual.py note).
+    target = jnp.asarray(erd_mean.reshape(-1, 1))
 
     model = SirenERD(
         hidden_features=cfg.hidden_features,
@@ -134,9 +138,7 @@ def run_case(
         soft_erd_weights(jnp.asarray(dwi), jnp.asarray(b0), noise_level,
                          mul=cfg.soft_erd_mul, slope=cfg.soft_erd_slope)
     )
-    acq_targets = jnp.asarray(
-        to_tensor_normalize(np.moveaxis(dwi, -1, 0)).reshape(A, -1, 1)
-    )
+    acq_targets = jnp.asarray(np.moveaxis(dwi, -1, 0).reshape(A, -1, 1))
     acq_weights = jnp.asarray(np.moveaxis(weights, -1, 0).reshape(A, -1, 1))
     acq_ids = jnp.arange(A, dtype=jnp.float32)
 

@@ -37,11 +37,7 @@ import optax
 from mri_super_resolution_tpu.core.coords import mgrid
 from mri_super_resolution_tpu.core.interp import rescale
 from mri_super_resolution_tpu.core.metrics import masked_ssim_protocol, psnr
-from mri_super_resolution_tpu.core.normalize import (
-    from_tensor_normalize,
-    rayleigh_noise_std,
-    to_tensor_normalize,
-)
+from mri_super_resolution_tpu.core.normalize import rayleigh_noise_std
 from mri_super_resolution_tpu.data import MetricsCSV
 from mri_super_resolution_tpu.fit.engine import fit_until
 from mri_super_resolution_tpu.models import SirenERD
@@ -94,7 +90,12 @@ def run_slice(
     h, w = lr.shape
 
     coords_lr = mgrid((h, w))
-    target = to_tensor_normalize(jnp.asarray(lr)).reshape(-1, 1)
+    # Fit in [0, 1] space, NOT the reference's Normalize(0.5, 0.5) space: the
+    # SirenERD output is ReLU'd (INR_ERD.py:63), so negative targets are
+    # unrepresentable and the loss<2e-5 while-loop would never terminate.
+    # The reference's raw-scale bigImage data made nearly all normalized
+    # values positive; unit-scale volumes do not.
+    target = jnp.asarray(lr).reshape(-1, 1)
 
     model = SirenERD(
         hidden_features=cfg.hidden_features,
@@ -134,9 +135,7 @@ def run_slice(
         )
     )
 
-    acq_targets = to_tensor_normalize(
-        jnp.asarray(np.moveaxis(acq_low, -1, 0).reshape(A, -1, 1))
-    )
+    acq_targets = jnp.asarray(np.moveaxis(acq_low, -1, 0).reshape(A, -1, 1))
     acq_weights = jnp.asarray(np.moveaxis(weights, -1, 0).reshape(A, -1, 1))
     acq_ids = jnp.arange(A, dtype=jnp.float32)
 
@@ -182,7 +181,7 @@ def run_slice(
 
         return jax.vmap(one)(acq_ids).mean(0)
 
-    sr = np.asarray(from_tensor_normalize(recon_mean(params))).reshape(H, W)
+    sr = np.asarray(recon_mean(params)).reshape(H, W)
     spline = np.asarray(rescale(jnp.asarray(lr), 2, anti_aliasing=True))
 
     @jax.jit
