@@ -40,7 +40,8 @@ def measure_jax(steps: int, use_pallas: bool = True) -> float:
     from mri_super_resolution_tpu.core.coords import fourier_matrix, fourier_encode, mgrid
     from mri_super_resolution_tpu.fit.engine import fit_simple
     from mri_super_resolution_tpu.models import Siren
-    from mri_super_resolution_tpu.ops.pallas.siren_kernel import make_fused_value_and_grad
+    from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+        make_fused_value_and_grad, pad_rows_to)
     from mri_super_resolution_tpu.utils import time_jitted
 
     key = jax.random.key(0)
@@ -52,9 +53,16 @@ def measure_jax(steps: int, use_pallas: bool = True) -> float:
     params = model.init(key, ff[:8])
     tx = optax.adam(1e-4)
 
-    # one-pass fused Pallas train-step gradient on TPU; XLA autodiff on CPU
+    # one-pass fused Pallas train-step gradient on TPU; XLA autodiff on CPU.
+    # Pre-pad coords/target to the kernel tile ONCE (XLA won't hoist the
+    # loop-invariant pad out of the scan body; ~155 us/step saved).
     on_tpu = jax.devices()[0].platform == "tpu"
-    vag = make_fused_value_and_grad(model) if (use_pallas and on_tpu) else None
+    n_real = coords.shape[0]
+    if use_pallas and on_tpu:
+        vag = make_fused_value_and_grad(model, n_rows=n_real)
+        ff, target = pad_rows_to(ff, 512), pad_rows_to(target, 512)
+    else:
+        vag = None
 
     def run():
         res = fit_simple(

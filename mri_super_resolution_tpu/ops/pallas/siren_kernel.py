@@ -433,7 +433,7 @@ def _loss_grad_kernel(omega: float, acts: tuple, compute_dtype, inv_n: float,
 @functools.partial(
     jax.jit,
     static_argnames=("omega", "compute_dtype", "acts", "interpret", "tile",
-                     "fast_sincos"),
+                     "fast_sincos", "n_rows"),
 )
 def siren_loss_grads(
     x: Array,
@@ -445,18 +445,26 @@ def siren_loss_grads(
     interpret: bool | None = None,
     tile: int = TILE_BWD,
     fast_sincos: bool = False,
+    n_rows: int | None = None,
 ):
     """One-pass ``(mse_loss, dweights)`` for a full-batch train step.
 
     Equivalent to ``jax.value_and_grad(lambda w: mse(forward(x, w), target))``
     but in a single Pallas kernel: no separate forward pass, no dx, no HBM
     round-trip of the network output.
+
+    ``n_rows`` marks the count of REAL rows when ``x``/``target`` arrive
+    already padded to a tile multiple (rows >= n_rows are masked out of the
+    loss and gradients). Pre-padding once outside a scanned fit loop matters:
+    XLA does not hoist the loop-invariant pad of a 72 MB coordinate array out
+    of the scan body, which costs ~155 us/step on the flagship volume
+    (measured via profile; see make_fused_value_and_grad(pad_rows_to)).
     """
     interpret = (not _is_tpu()) if interpret is None else interpret
     acts = _default_acts(len(weights) // 2) if acts is None else acts
     orig_ndims = [w.ndim for w in weights]
     weights = [w[None, :] if w.ndim == 1 else w for w in weights]
-    P = x.shape[0]
+    P = x.shape[0] if n_rows is None else n_rows
     inv_n = 1.0 / (P * target.shape[-1])
     xp, _ = _pad_rows(x, tile)
     tp, _ = _pad_rows(target, tile)
@@ -593,8 +601,15 @@ def make_fused_apply(model, compute_dtype=None, fast_sincos: bool = True) -> "ca
     return apply
 
 
+def pad_rows_to(x: Array, tile: int = 512) -> Array:
+    """Pad rows to a multiple of ``tile`` ONCE, outside a scanned fit loop
+    (pair with ``make_fused_value_and_grad(..., n_rows=<real count>)``)."""
+    return _pad_rows(x, tile)[0]
+
+
 def make_fused_value_and_grad(model, compute_dtype=None, tile: int = 512,
-                              fold_omega: bool = False, fast_sincos: bool = True):
+                              fold_omega: bool = False, fast_sincos: bool = True,
+                              n_rows: int | None = None):
     """A drop-in for ``jax.value_and_grad(lambda p: mse(apply(p, x), t))``
     running the whole train-step gradient in one kernel pass.
 
@@ -605,6 +620,11 @@ def make_fused_value_and_grad(model, compute_dtype=None, tile: int = 512,
     const-fold away; the rescale touches only the parameter-sized gradients
     once per step. Also makes distinct first/hidden omegas exact (the
     unfolded kernel assumes one omega).
+
+    ``n_rows``: pass the REAL row count when the caller pre-pads x/target to
+    a multiple of ``tile`` with :func:`pad_rows_to` — hoists the per-step pad
+    of the loop-invariant coordinate array out of scanned fit loops
+    (~155 us/step on the flagship volume; XLA does not do this itself).
 
     Returns ``vag(params, x, target) -> (loss, grads)`` with ``grads``
     matching the params pytree (non-trunk leaves zero).
@@ -627,7 +647,7 @@ def make_fused_value_and_grad(model, compute_dtype=None, tile: int = 512,
             )
             loss, dws = siren_loss_grads(
                 x, ws_f, target, 1.0, compute_dtype, acts, tile=tile,
-                fast_sincos=fast_sincos,
+                fast_sincos=fast_sincos, n_rows=n_rows,
             )
             dws = tuple(
                 d * scales[i // 2] if scales[i // 2] != 1.0 else d
@@ -644,7 +664,7 @@ def make_fused_value_and_grad(model, compute_dtype=None, tile: int = 512,
         ws = tuple(weights_from_flax(params))
         loss, dws = siren_loss_grads(
             x, ws, target, omega, compute_dtype, acts, tile=tile,
-            fast_sincos=fast_sincos,
+            fast_sincos=fast_sincos, n_rows=n_rows,
         )
         return loss, weights_to_flax(dws, params, fill_zeros=True)
 

@@ -110,6 +110,27 @@ class TestLossGradsOnePass:
         loss_r = jnp.mean((model.apply(params, x) - target) ** 2)
         np.testing.assert_allclose(float(loss_k), float(loss_r), rtol=1e-4)
 
+    def test_prepadded_n_rows_matches_unpadded(self, setup):
+        """Pre-padding x/target outside the loop (pad_rows_to + n_rows) must
+        reproduce the unpadded call exactly — loss normalisation and gradient
+        masking both keyed on the REAL row count."""
+        from mri_super_resolution_tpu.ops.pallas.siren_kernel import pad_rows_to
+
+        model, params, x = setup
+        rng = np.random.default_rng(3)
+        target = jnp.asarray(rng.normal(size=(x.shape[0], 1)).astype(np.float32))
+        weights = tuple(weights_from_flax(params))
+        tile = 384
+        loss_a, grads_a = siren_loss_grads(x, weights, target, tile=tile)
+        xp, tp = pad_rows_to(x, tile), pad_rows_to(target, tile)
+        assert xp.shape[0] % tile == 0 and xp.shape[0] > x.shape[0]
+        loss_b, grads_b = siren_loss_grads(
+            xp, weights, tp, tile=tile, n_rows=x.shape[0]
+        )
+        np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+        for ga, gb in zip(grads_a, grads_b):
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
+
 
 class TestSirenERDKernel:
     @pytest.fixture(scope="class")

@@ -26,6 +26,7 @@ class TestTrainer:
         cfg = TrainerConfig(
             batch_size=2, epochs=2, evaluate_every=2, hr_size=24,
             checkpoint_dir=str(tmp_path / "ckpt"),
+            log_dir=str(tmp_path / "logs"),
         )
         tr = Trainer(tiny_model, cfg)
         tr.init(x)
@@ -42,7 +43,7 @@ class TestTrainer:
         x, _, _ = _tiny_data(rng, n=2)
         cfg = TrainerConfig(
             batch_size=2, hr_size=24, checkpoint_dir=str(tmp_path / "ckpt2"),
-            save_best_only=True,
+            log_dir=str(tmp_path / "logs"), save_best_only=True,
         )
         tr = Trainer(tiny_model, cfg)
         tr.init(x)
