@@ -195,7 +195,12 @@ def main():
                     help="also print erd/wire model-family lines before the headline")
     args = ap.parse_args()
 
-    steps = 30 if args.quick else 200
+    # Step counts follow the reference workloads (3-D fit: 2500 epochs,
+    # superresDWI.py:84-90; 2-D fits: 3000 steps, master.py:28): long enough
+    # that the ~45 ms fixed per-dispatch cost of the device tunnel is
+    # amortised the way it is in a real run, short enough to finish fast.
+    steps = 30 if args.quick else 500
+    small_steps = 30 if args.quick else 1000
     torch_steps = 3 if args.quick else 10
 
     if args.all:
@@ -204,7 +209,7 @@ def main():
                 json.dumps(
                     {
                         "metric": f"{name}_fit_voxels_per_sec_per_chip",
-                        "value": round(fn(steps), 1),
+                        "value": round(fn(small_steps), 1),
                         "unit": "voxels/sec/chip",
                     }
                 )

@@ -179,7 +179,8 @@ def _loss_grad_kernel(n_hidden: int, compute_dtype, inv_n: float,
         )
         rows = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0) + i * tile
         r = jnp.where(rows < n_rows, out - t_ref[:], 0.0)
-        loss_ref[0, 0] += jnp.sum(r * r) * inv_n
+        # (1, 1)-shaped store: Mosaic rejects scalar stores to VMEM
+        loss_ref[:] = loss_ref[:] + jnp.sum(r * r).reshape(1, 1) * inv_n
         g = (2.0 * inv_n) * r
 
         f32 = lambda t: tuple(v.astype(jnp.float32) for v in t)
