@@ -280,6 +280,8 @@ def fit_alternating_pn(
     pn_epochs: int = 10,
     pn_eps: float = 1.0 / 128.0,
     inr_value_and_grad: Callable | None = None,
+    padded_ff: Array | None = None,
+    padded_target: Array | None = None,
 ) -> AlternatingResult:
     """superresDWI.py:132-156: ``num_epochs - pn_epochs`` INR-on-mean steps,
     then ``pn_epochs`` alternating steps — odd: INR-on-mean; even: one
@@ -291,18 +293,24 @@ def fit_alternating_pn(
 
     ``inr_value_and_grad(params, coords, target) -> (loss, grads)`` overrides
     autodiff for the INR-on-mean steps (the 2490-epoch hot loop) — the
-    one-pass fused kernel path. The PN branch keeps ``inr_apply`` (its
-    gradient flows through the INR's input).
+    one-pass fused kernel path. ``padded_ff``/``padded_target`` are
+    tile-aligned copies consumed ONLY by those steps (pair with a vag built
+    with ``n_rows=P``): pre-padding outside the scan saves ~155 us/step on
+    the flagship volume (XLA does not hoist the loop-invariant pad itself).
+    The PN branch keeps ``inr_apply`` and the unpadded arrays (its gradient
+    flows through the INR's input).
     """
     inr_opt = inr_tx.init(inr_params)
     pn_opt = pn_tx.init(pn_params)
+    vag_ff = ff_coords if padded_ff is None else padded_ff
+    vag_target = mean_target if padded_target is None else padded_target
 
     def inr_step(inr_params, inr_opt):
         def loss_fn(p):
             return mse(inr_apply(p, ff_coords), mean_target)
 
         if inr_value_and_grad is not None:
-            loss, grads = inr_value_and_grad(inr_params, ff_coords, mean_target)
+            loss, grads = inr_value_and_grad(inr_params, vag_ff, vag_target)
         else:
             loss, grads = jax.value_and_grad(loss_fn)(inr_params)
         updates, inr_opt = inr_tx.update(grads, inr_opt)

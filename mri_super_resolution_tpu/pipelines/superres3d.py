@@ -114,14 +114,20 @@ def run_patient(
 
     on_tpu = jax.devices()[0].platform == "tpu"
     inr_vag = None
+    padded_ff = padded_target = None
     if cfg.use_pallas and on_tpu:
         from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
             make_fused_apply,
             make_fused_value_and_grad,
+            pad_rows_to,
         )
 
         inr_apply = make_fused_apply(inr)
-        inr_vag = make_fused_value_and_grad(inr)  # one-pass mean-fit steps
+        # one-pass mean-fit steps; pre-padded coords hoist the per-step pad
+        # out of the 2490-epoch scan (see make_fused_value_and_grad docs)
+        inr_vag = make_fused_value_and_grad(inr, n_rows=ff.shape[0])
+        padded_ff = pad_rows_to(ff, 512)
+        padded_target = pad_rows_to(mean_target, 512)
     else:
         inr_apply = inr.apply
 
@@ -140,6 +146,8 @@ def run_patient(
         pn_epochs=cfg.perturbation_epochs,
         pn_eps=cfg.pn_eps,
         inr_value_and_grad=inr_vag,
+        padded_ff=padded_ff,
+        padded_target=padded_target,
     )
 
     # dense-grid inference (superresDWI.py:161-162)
