@@ -387,31 +387,42 @@ siren_fused.defvjp(_fwd, _bwd)
 
 
 def _loss_grad_kernel(omega: float, acts: tuple, compute_dtype, inv_n: float,
-                      n_rows: int, tile: int, fast: bool = False):
+                      n_rows: int, tile: int, fast: bool = False,
+                      with_out_absmax: bool = False):
     """Forward + MSE residual + backward in one tile visit.
 
     Padded rows are masked out of the residual, so they contribute nothing to
     the loss or the weight gradients. The scalar loss accumulates in a (1, 1)
     block revisited across grid steps; dW/db accumulate likewise.
+
+    ``with_out_absmax`` adds a (1, 1) output accumulating max(|out|) over the
+    REAL rows — the collapse-restart signal of the ERD two-phase loop
+    (INR_ERD.py:211-217 checks output.max() == 0) without a separate forward.
     """
     n_layers = len(acts)
 
     def kernel(*refs):
         # inputs: x, W0,b0..W_{n-1},b_{n-1}, target
-        # outputs: loss(1,1), dW0,db0, ..., dW_{n-1},db_{n-1}
+        # outputs: loss(1,1)[, out_absmax(1,1)], dW0,db0, ..., dW_{n-1},db_{n-1}
         n_in = 1 + 2 * n_layers + 1
         x_ref = refs[0]
         t_ref = refs[n_in - 1]
         w_refs = refs[1:n_in - 1]
         out_refs = refs[n_in:]
         loss_ref = out_refs[0]
-        dW_refs = out_refs[1:]
+        if with_out_absmax:
+            absmax_ref = out_refs[1]
+            dW_refs = out_refs[2:]
+        else:
+            dW_refs = out_refs[1:]
 
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             loss_ref[:] = jnp.zeros_like(loss_ref)
+            if with_out_absmax:
+                absmax_ref[:] = jnp.zeros_like(absmax_ref)
             for r in dW_refs:
                 r[:] = jnp.zeros_like(r)
 
@@ -422,6 +433,11 @@ def _loss_grad_kernel(omega: float, acts: tuple, compute_dtype, inv_n: float,
         r = jnp.where(rows < n_rows, out - t_ref[:], 0.0)
         # (1, 1)-shaped store: Mosaic rejects scalar stores to VMEM
         loss_ref[:] = loss_ref[:] + jnp.sum(r * r).reshape(1, 1) * inv_n
+        if with_out_absmax:
+            tile_max = jnp.max(
+                jnp.where(rows < n_rows, jnp.abs(out), 0.0)
+            ).reshape(1, 1)
+            absmax_ref[:] = jnp.maximum(absmax_ref[:], tile_max)
         _backprop_weights(
             w_refs, dW_refs, (2.0 * inv_n) * r, inputs, factors, acts, omega,
             compute_dtype, need_dx=False,
@@ -433,7 +449,7 @@ def _loss_grad_kernel(omega: float, acts: tuple, compute_dtype, inv_n: float,
 @functools.partial(
     jax.jit,
     static_argnames=("omega", "compute_dtype", "acts", "interpret", "tile",
-                     "fast_sincos", "n_rows"),
+                     "fast_sincos", "n_rows", "with_out_absmax"),
 )
 def siren_loss_grads(
     x: Array,
@@ -446,6 +462,7 @@ def siren_loss_grads(
     tile: int = TILE_BWD,
     fast_sincos: bool = False,
     n_rows: int | None = None,
+    with_out_absmax: bool = False,
 ):
     """One-pass ``(mse_loss, dweights)`` for a full-batch train step.
 
@@ -478,15 +495,16 @@ def siren_loss_grads(
     in_specs += [block_full(w) for w in weights]
     in_specs += [pl.BlockSpec((tile, target.shape[1]), lambda i: (i, 0), memory_space=ms)]
 
-    out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
-    out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=ms)]
+    n_scalar_outs = 2 if with_out_absmax else 1
+    out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * n_scalar_outs
+    out_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=ms)] * n_scalar_outs
     for w in weights:
         out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
         out_specs.append(block_full(w))
 
     outs = pl.pallas_call(
         _loss_grad_kernel(float(omega), acts, compute_dtype, inv_n, P, tile,
-                          fast_sincos),
+                          fast_sincos, with_out_absmax),
         out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=in_specs,
@@ -494,7 +512,12 @@ def siren_loss_grads(
         interpret=interpret,
     )(xp, *weights, tp)
     loss = outs[0][0, 0]
-    dW = tuple(d[0] if nd == 1 else d for d, nd in zip(outs[1:], orig_ndims))
+    dW = tuple(
+        d[0] if nd == 1 else d
+        for d, nd in zip(outs[n_scalar_outs:], orig_ndims)
+    )
+    if with_out_absmax:
+        return loss, outs[1][0, 0], dW
     return loss, dW
 
 
@@ -667,5 +690,30 @@ def make_fused_value_and_grad(model, compute_dtype=None, tile: int = 512,
             fast_sincos=fast_sincos, n_rows=n_rows,
         )
         return loss, weights_to_flax(dws, params, fill_zeros=True)
+
+    return vag
+
+
+def make_fused_value_grad_absmax(model, compute_dtype=None, tile: int = 512,
+                                 fast_sincos: bool = True,
+                                 n_rows: int | None = None):
+    """Like :func:`make_fused_value_and_grad` but the returned
+    ``vag(params, x, target) -> (loss, out_absmax, grads)`` also reports
+    max(|model output|) over the real rows — the collapse-restart signal the
+    ERD two-phase loop needs (INR_ERD.py:211-217), still in ONE kernel pass.
+    Pass to ``fit/engine.fit_until(value_grad_absmax_fn=...)``."""
+    omega = float(model.hidden_omega_0)
+    first_omega = float(getattr(model, "first_omega_0", omega))
+    if first_omega != omega:
+        raise ValueError("distinct first/hidden omega is not supported here")
+    acts = acts_for_model(model)
+
+    def vag(params, x, target):
+        ws = tuple(weights_from_flax(params))
+        loss, out_absmax, dws = siren_loss_grads(
+            x, ws, target, omega, compute_dtype, acts, tile=tile,
+            fast_sincos=fast_sincos, n_rows=n_rows, with_out_absmax=True,
+        )
+        return loss, out_absmax, weights_to_flax(dws, params, fill_zeros=True)
 
     return vag

@@ -182,6 +182,49 @@ class TestSirenERDKernel:
                 np.asarray(vk), np.asarray(vr), atol=5e-4, err_msg=jax.tree_util.keystr(kp)
             )
 
+    def test_absmax_variant_matches(self, erd_setup):
+        """with_out_absmax must add the collapse signal (max|out| over real
+        rows) without changing loss or grads."""
+        from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+            make_fused_value_grad_absmax)
+
+        model, params, x = erd_setup
+        target = jnp.asarray(
+            np.random.default_rng(7).uniform(0, 1, size=(x.shape[0], 1)).astype(np.float32)
+        )
+        loss_a, grads_a = make_fused_value_and_grad(model)(params, x, target)
+        loss_b, absmax, grads_b = make_fused_value_grad_absmax(model)(params, x, target)
+        np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+        out = model.apply(params, x, sample=0.0, eps=0.0)
+        np.testing.assert_allclose(
+            float(absmax), float(jnp.max(jnp.abs(out))), rtol=1e-5
+        )
+        for ga, gb in zip(jax.tree.leaves(grads_a), jax.tree.leaves(grads_b)):
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
+
+    def test_fit_until_kernel_route_converges(self, erd_setup):
+        """fit_until with the one-pass absmax vag reaches the loss threshold
+        (the ERD phase-1 path on TPU)."""
+        import optax
+        from mri_super_resolution_tpu.core.coords import mgrid
+        from mri_super_resolution_tpu.fit.engine import fit_until
+        from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+            make_fused_value_grad_absmax)
+
+        model, params, _ = erd_setup
+        coords = mgrid((16, 16))
+        target = jnp.full((coords.shape[0], 1), 0.25, jnp.float32)
+        vag = make_fused_value_grad_absmax(model)
+        apply_plain = lambda p, c: model.apply(p, c, sample=0.0, eps=0.0)
+        init_fn = lambda k: model.init(k, coords, 0.0, 0.0)
+        p, steps, loss = fit_until(
+            apply_plain, optax.adam(1e-4), init_fn, jax.random.key(0),
+            coords, target, loss_threshold=1e-3, max_steps=3000,
+            value_grad_absmax_fn=vag,
+        )
+        assert float(loss) < 1e-3
+        assert int(steps) < 3000
+
     def test_one_pass_grads_zero_perturb(self, erd_setup):
         model, params, x = erd_setup
         target = jnp.asarray(
