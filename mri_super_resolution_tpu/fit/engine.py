@@ -101,7 +101,8 @@ class EnsembleResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("apply_fn", "tx", "total_steps", "seg"),
+    static_argnames=("apply_fn", "tx", "total_steps", "seg",
+                     "weighted_value_and_grad_fn"),
     donate_argnames=("params",),
 )
 def fit_ensemble(
@@ -116,6 +117,7 @@ def fit_ensemble(
     total_steps: int,
     seg: int,
     valid: Array | None = None,  # (A,) mask for padded acquisition slots
+    weighted_value_and_grad_fn: Callable | None = None,
 ) -> EnsembleResult:
     """The master.py:137-160 loop: each step does one Adam update per
     acquisition (weighted MSE); the last ``seg`` steps also evaluate the INR
@@ -126,7 +128,11 @@ def fit_ensemble(
     with unequal counts) leave params AND optimizer state untouched, so
     Adam's bias-correction count matches the reference's per-direction loop
     exactly — a zero-weight update would still advance the count and decay
-    the moments."""
+    the moments.
+
+    ``weighted_value_and_grad_fn(params, coords, target, w) -> (loss, grads)``
+    overrides autodiff for the per-acquisition update — the one-pass fused
+    kernel (siren_kernel.make_fused_weighted_value_and_grad)."""
     opt_state = tx.init(params)
     if valid is None:
         valid = jnp.ones((pixels.shape[0],), bool)
@@ -139,7 +145,10 @@ def fit_ensemble(
         def loss_fn(p):
             return weighted_mse(apply_fn(p, coords), target, w)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        if weighted_value_and_grad_fn is not None:
+            loss, grads = weighted_value_and_grad_fn(params, coords, target, w)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, new_opt = tx.update(grads, opt_state)
         new_params = optax.apply_updates(params, updates)
         keep = lambda old, new: jax.tree.map(

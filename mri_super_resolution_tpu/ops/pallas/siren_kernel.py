@@ -388,7 +388,8 @@ siren_fused.defvjp(_fwd, _bwd)
 
 def _loss_grad_kernel(omega: float, acts: tuple, compute_dtype, inv_n: float,
                       n_rows: int, tile: int, fast: bool = False,
-                      with_out_absmax: bool = False):
+                      with_out_absmax: bool = False,
+                      with_weights: bool = False):
     """Forward + MSE residual + backward in one tile visit.
 
     Padded rows are masked out of the residual, so they contribute nothing to
@@ -398,16 +399,22 @@ def _loss_grad_kernel(omega: float, acts: tuple, compute_dtype, inv_n: float,
     ``with_out_absmax`` adds a (1, 1) output accumulating max(|out|) over the
     REAL rows — the collapse-restart signal of the ERD two-phase loop
     (INR_ERD.py:211-217 checks output.max() == 0) without a separate forward.
+
+    ``with_weights`` adds a per-row sample-weight input: loss becomes the
+    acceptance-weighted MSE of master.py:143-145 — mean of w*(y-t)^2 over the
+    TOTAL element count (fit/losses.weighted_mse semantics), gradient
+    2*w*(y-t)/N.
     """
     n_layers = len(acts)
 
     def kernel(*refs):
-        # inputs: x, W0,b0..W_{n-1},b_{n-1}, target
+        # inputs: x, W0,b0..W_{n-1},b_{n-1}, target[, sample_weights]
         # outputs: loss(1,1)[, out_absmax(1,1)], dW0,db0, ..., dW_{n-1},db_{n-1}
-        n_in = 1 + 2 * n_layers + 1
+        n_in = 1 + 2 * n_layers + 1 + (1 if with_weights else 0)
         x_ref = refs[0]
-        t_ref = refs[n_in - 1]
-        w_refs = refs[1:n_in - 1]
+        t_ref = refs[2 + 2 * n_layers - 1]
+        sw_ref = refs[n_in - 1] if with_weights else None
+        w_refs = refs[1:1 + 2 * n_layers]
         out_refs = refs[n_in:]
         loss_ref = out_refs[0]
         if with_out_absmax:
@@ -431,15 +438,19 @@ def _loss_grad_kernel(omega: float, acts: tuple, compute_dtype, inv_n: float,
         )
         rows = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0) + i * tile
         r = jnp.where(rows < n_rows, out - t_ref[:], 0.0)
+        if with_weights:
+            wr = sw_ref[:] * r
+        else:
+            wr = r
         # (1, 1)-shaped store: Mosaic rejects scalar stores to VMEM
-        loss_ref[:] = loss_ref[:] + jnp.sum(r * r).reshape(1, 1) * inv_n
+        loss_ref[:] = loss_ref[:] + jnp.sum(wr * r).reshape(1, 1) * inv_n
         if with_out_absmax:
             tile_max = jnp.max(
                 jnp.where(rows < n_rows, jnp.abs(out), 0.0)
             ).reshape(1, 1)
             absmax_ref[:] = jnp.maximum(absmax_ref[:], tile_max)
         _backprop_weights(
-            w_refs, dW_refs, (2.0 * inv_n) * r, inputs, factors, acts, omega,
+            w_refs, dW_refs, (2.0 * inv_n) * wr, inputs, factors, acts, omega,
             compute_dtype, need_dx=False,
         )
 
@@ -463,12 +474,14 @@ def siren_loss_grads(
     fast_sincos: bool = False,
     n_rows: int | None = None,
     with_out_absmax: bool = False,
+    sample_weights: Array | None = None,
 ):
     """One-pass ``(mse_loss, dweights)`` for a full-batch train step.
 
     Equivalent to ``jax.value_and_grad(lambda w: mse(forward(x, w), target))``
     but in a single Pallas kernel: no separate forward pass, no dx, no HBM
-    round-trip of the network output.
+    round-trip of the network output. ``sample_weights`` (P, 1) switches the
+    loss to the acceptance-weighted MSE (losses.weighted_mse semantics).
 
     ``n_rows`` marks the count of REAL rows when ``x``/``target`` arrive
     already padded to a tile multiple (rows >= n_rows are masked out of the
@@ -494,6 +507,14 @@ def siren_loss_grads(
     in_specs = [pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0), memory_space=ms)]
     in_specs += [block_full(w) for w in weights]
     in_specs += [pl.BlockSpec((tile, target.shape[1]), lambda i: (i, 0), memory_space=ms)]
+    operands = [xp, *weights, tp]
+    if sample_weights is not None:
+        swp, _ = _pad_rows(sample_weights, tile)
+        in_specs += [
+            pl.BlockSpec((tile, sample_weights.shape[1]), lambda i: (i, 0),
+                         memory_space=ms)
+        ]
+        operands.append(swp)
 
     n_scalar_outs = 2 if with_out_absmax else 1
     out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * n_scalar_outs
@@ -504,13 +525,14 @@ def siren_loss_grads(
 
     outs = pl.pallas_call(
         _loss_grad_kernel(float(omega), acts, compute_dtype, inv_n, P, tile,
-                          fast_sincos, with_out_absmax),
+                          fast_sincos, with_out_absmax,
+                          with_weights=sample_weights is not None),
         out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         interpret=interpret,
-    )(xp, *weights, tp)
+    )(*operands)
     loss = outs[0][0, 0]
     dW = tuple(
         d[0] if nd == 1 else d
@@ -715,5 +737,76 @@ def make_fused_value_grad_absmax(model, compute_dtype=None, tile: int = 512,
             fast_sincos=fast_sincos, n_rows=n_rows, with_out_absmax=True,
         )
         return loss, out_absmax, weights_to_flax(dws, params, fill_zeros=True)
+
+    return vag
+
+
+def _round128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def _pad_hidden_widths(ws: list) -> list:
+    """Zero-pad every hidden width to a multiple of the 128-lane dimension.
+
+    Safe for sine/relu/none activations: padded pre-activations are exactly 0
+    (zero weights + zero bias), sin(0) = relu(0) = 0, and zero rows in the
+    next layer's weights kill any contribution — so outputs, loss and the
+    REAL weights' gradients are bit-identical, and the padded slots' grads
+    are exactly 0 (cropping loses nothing). Lets narrow reference configs
+    (master.py's Siren 2->64x6) ride the fused kernel.
+    """
+    n_layers = len(ws) // 2
+    out = []
+    for l in range(n_layers):
+        W, b = ws[2 * l], ws[2 * l + 1]
+        in_p = W.shape[0] if l == 0 else _round128(W.shape[0])
+        out_p = W.shape[1] if l == n_layers - 1 else _round128(W.shape[1])
+        out.append(jnp.pad(W, ((0, in_p - W.shape[0]), (0, out_p - W.shape[1]))))
+        out.append(jnp.pad(b, (0, out_p - b.shape[0])))
+    return out
+
+
+def _needs_width_pad(ws: list) -> bool:
+    n_layers = len(ws) // 2
+    return any(
+        ws[2 * l].shape[1] % 128 for l in range(n_layers - 1)
+    ) or (n_layers > 1 and ws[2].shape[0] % 128 != 0)
+
+
+def make_fused_weighted_value_and_grad(model, compute_dtype=None,
+                                       tile: int = 512,
+                                       fast_sincos: bool = True,
+                                       n_rows: int | None = None):
+    """One-pass fused gradient of the acceptance-weighted MSE
+    (losses.weighted_mse — the master.py:143-145 loss):
+    ``vag(params, x, target, sample_weights) -> (loss, grads)``.
+
+    Narrow hidden widths (e.g. the reference 2-D config's 64) are zero-padded
+    to the 128-lane dimension around the kernel call; gradients are cropped
+    back (exact — see _pad_hidden_widths). Composes with jax.vmap (the
+    master2d pipeline vmaps 3 directions into one program).
+    """
+    omega = float(model.hidden_omega_0)
+    first_omega = float(getattr(model, "first_omega_0", omega))
+    if first_omega != omega:
+        raise ValueError("distinct first/hidden omega is not supported here")
+    acts = acts_for_model(model)
+
+    def vag(params, x, target, sample_weights):
+        ws = weights_from_flax(params)
+        shapes = [w.shape for w in ws]
+        pad = _needs_width_pad(ws)
+        ws_k = tuple(_pad_hidden_widths(ws)) if pad else tuple(ws)
+        loss, dws = siren_loss_grads(
+            x, ws_k, target, omega, compute_dtype, acts, tile=tile,
+            fast_sincos=fast_sincos, n_rows=n_rows,
+            sample_weights=sample_weights,
+        )
+        if pad:
+            dws = tuple(
+                d[tuple(slice(0, s) for s in shp)]
+                for d, shp in zip(dws, shapes)
+            )
+        return loss, weights_to_flax(dws, params, fill_zeros=True)
 
     return vag

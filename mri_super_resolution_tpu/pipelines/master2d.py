@@ -133,10 +133,21 @@ def fit_directions(
     for d, n in enumerate(acquisitions):
         valid[d, :n] = True
 
+    # the per-acquisition updates ride the one-pass fused kernel on TPU
+    # (64-wide hidden dims are zero-padded to the 128-lane width, exactly);
+    # the ensemble-tail dense evaluations stay on apply_fn
+    wvag = None
+    if jax.devices()[0].platform == "tpu":
+        from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+            make_fused_weighted_value_and_grad)
+
+        wvag = make_fused_weighted_value_and_grad(model)
+
     def one_direction(params, pix, w, ok):
         return fit_ensemble(
             model.apply, tx, params, coords, pix, w, coords, coords_s,
             total_steps=cfg.total_steps, seg=cfg.seg, valid=ok,
+            weighted_value_and_grad_fn=wvag,
         )
 
     res = jax.vmap(one_direction)(

@@ -182,6 +182,82 @@ class TestSirenERDKernel:
                 np.asarray(vk), np.asarray(vr), atol=5e-4, err_msg=jax.tree_util.keystr(kp)
             )
 
+    @pytest.mark.parametrize("hidden", [64, 128])
+    def test_weighted_vag_matches_autodiff(self, hidden):
+        """Acceptance-weighted one-pass gradient == autodiff of
+        losses.weighted_mse, including the narrow-width (64) padding path
+        used by the master.py 2-D config."""
+        from mri_super_resolution_tpu.fit.losses import weighted_mse
+        from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+            make_fused_weighted_value_and_grad)
+
+        rng = np.random.default_rng(11)
+        coords = mgrid((20, 20))
+        model = Siren(hidden_features=hidden, hidden_layers=3)
+        params = model.init(jax.random.key(2), coords[:4])
+        target = jnp.asarray(rng.normal(size=(400, 1)).astype(np.float32))
+        w = jnp.asarray((rng.uniform(size=(400, 1)) > 0.3).astype(np.float32))
+
+        vag = make_fused_weighted_value_and_grad(model)
+        loss_k, grads_k = vag(params, coords, target, w)
+
+        def loss_ref(p):
+            return weighted_mse(model.apply(p, coords), target, w)
+
+        loss_r, grads_r = jax.value_and_grad(loss_ref)(params)
+        np.testing.assert_allclose(float(loss_k), float(loss_r), rtol=1e-4)
+        for gk, gr in zip(jax.tree.leaves(grads_k), jax.tree.leaves(grads_r)):
+            np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=5e-4)
+
+    def test_fit_ensemble_kernel_route_matches(self):
+        """fit_ensemble with the weighted one-pass kernel reproduces the
+        autodiff path (ensemble predictions + losses) at the 64-wide
+        master.py config, vmapped over directions like the pipeline."""
+        import optax
+        from mri_super_resolution_tpu.fit.engine import fit_ensemble
+        from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+            make_fused_weighted_value_and_grad)
+
+        rng = np.random.default_rng(12)
+        coords = mgrid((12, 12))
+        coords_s = mgrid((24, 24))
+        D, A, P = 2, 3, coords.shape[0]
+        model = Siren(hidden_features=64, hidden_layers=2)
+        keys = jax.random.split(jax.random.key(3), D)
+        params_stack = jax.vmap(lambda k: model.init(k, coords[:4]))(keys)
+        pixels = jnp.asarray(rng.normal(size=(D, A, P, 1)).astype(np.float32))
+        weights = jnp.asarray(
+            (rng.uniform(size=(D, A, P, 1)) > 0.2).astype(np.float32)
+        )
+        valid = jnp.asarray([[True, True, False], [True, True, True]])
+        tx = optax.adam(1e-4)
+        wvag = make_fused_weighted_value_and_grad(model)
+
+        def run(wv):
+            def one(p, pix, w, ok):
+                return fit_ensemble(
+                    model.apply, tx, p, coords, pix, w, coords, coords_s,
+                    total_steps=8, seg=3, valid=ok,
+                    weighted_value_and_grad_fn=wv,
+                )
+            return jax.vmap(one)(
+                jax.tree.map(jnp.copy, params_stack), pixels, weights, valid
+            )
+
+        res_a = run(None)
+        res_b = run(wvag)
+        # tolerance = the kernel's bf16 activation-stash gradient error class
+        # accumulated over the 8 steps (documented in _recompute_forward)
+        np.testing.assert_allclose(
+            np.asarray(res_a.losses), np.asarray(res_b.losses), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_a.pred_1x), np.asarray(res_b.pred_1x), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_a.pred_scale), np.asarray(res_b.pred_scale), atol=2e-3
+        )
+
     def test_absmax_variant_matches(self, erd_setup):
         """with_out_absmax must add the collapse signal (max|out| over real
         rows) without changing loss or grads."""
