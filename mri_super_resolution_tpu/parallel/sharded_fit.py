@@ -37,15 +37,42 @@ def make_sharded_fit(
     tx: optax.GradientTransformation,
     mesh: Mesh,
     num_steps: int,
+    value_and_grad_fn: Callable | None = None,
 ):
     """Compile a data-parallel full-batch fit over ``mesh``.
 
     Returns ``fit(params, coords, target) -> ShardedFitResult`` where
     ``coords``/``target`` lead with the voxel axis (sharded over ``data``)
     and ``params`` are replicated. The scan over steps lives inside jit.
+
+    ``value_and_grad_fn(params, local_coords, local_target) -> (loss, grads)``
+    routes the per-shard gradient through the one-pass fused Pallas kernel
+    (siren_kernel.make_fused_value_and_grad — build WITHOUT ``n_rows``; each
+    shard sees its local row count). GSPMD cannot partition a pallas_call, so
+    the kernel path wraps the step's gradient in ``shard_map`` over ``data``:
+    every chip runs the kernel on its voxel shard and the loss/grads are
+    pmean'd over ICI — exact, because shard_batch guarantees equal shard
+    sizes, so the mean-of-local-means IS the global mean.
     """
     replicated = NamedSharding(mesh, P())
     vox_sharded = NamedSharding(mesh, P("data"))
+
+    if value_and_grad_fn is not None:
+        from jax.experimental.shard_map import shard_map
+
+        local_vag = functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=(P(), P()),
+            check_rep=False,  # pallas_call defeats the replication checker
+        )(
+            lambda p, c, t: tuple(
+                jax.lax.pmean(v, "data") for v in value_and_grad_fn(p, c, t)
+            )
+        )
+    else:
+        local_vag = None
 
     @functools.partial(
         jax.jit,
@@ -62,7 +89,10 @@ def make_sharded_fit(
             def loss_fn(p):
                 return mse(apply_fn(p, coords), target)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            if local_vag is not None:
+                loss, grads = local_vag(params, coords, target)
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state)
             return (optax.apply_updates(params, updates), opt_state), loss
 
