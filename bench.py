@@ -143,6 +143,41 @@ def measure_wire(steps: int) -> float:
     return coords.shape[0] * steps / sec
 
 
+def measure_rams(steps: int) -> float:
+    """MISR trainer step throughput (patches/sec): RAMS at the reference
+    config (multi-image-super-resolution/master.py:20-27 — scale 3, F=32,
+    T=9, N=12), batch 8 of 32x32 LR stacks -> 96x96 HR, shift-tolerant L1."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mri_super_resolution_tpu.config import RAMSConfig, TrainerConfig
+    from mri_super_resolution_tpu.fit.trainer import Trainer
+    from mri_super_resolution_tpu.pipelines.misr import build_rams
+
+    cfg = TrainerConfig(batch_size=8, hr_size=96,
+                        checkpoint_dir="/tmp/bench_rams_ckpt",
+                        log_dir="/tmp/bench_rams_logs")
+    tr = Trainer(build_rams(RAMSConfig()), cfg, name="bench")
+    rng = np.random.default_rng(0)
+    B = 8
+    x = jnp.asarray(rng.uniform(7000, 8000, (B, 32, 32, 9)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(7000, 8000, (B, 96, 96, 1)).astype(np.float32))
+    m = jnp.ones_like(y)
+    st = tr.init(x)
+    p, o = st.params, st.opt_state
+    for _ in range(3):
+        p, o, loss, _ = tr._train_step(p, o, x, y, m)
+    jax.device_get(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        p, o, loss, _ = tr._train_step(p, o, x, y, m)
+    jax.device_get(loss)
+    return B * steps / (time.perf_counter() - t0)
+
+
 def measure_torch(steps: int) -> float:
     """Reference PyTorch workload (superresDWI.py:105-145 semantics) on CPU.
 
@@ -214,6 +249,15 @@ def main():
                     }
                 )
             )
+        print(
+            json.dumps(
+                {
+                    "metric": "rams_train_patches_per_sec_per_chip",
+                    "value": round(measure_rams(10 if args.quick else 50), 1),
+                    "unit": "patches/sec/chip",
+                }
+            )
+        )
 
     ours = measure_jax(steps)
 

@@ -612,6 +612,7 @@ def _perturb_delta(params, coords, sample, eps):
     return eps * jnp.tanh(h)
 
 
+@functools.lru_cache(maxsize=None)
 def make_fused_apply(model, compute_dtype=None, fast_sincos: bool = True) -> "callable":
     """Adapter: an ``apply(params, x)`` for ``models.Siren`` /
     ``models.SirenERD`` that runs the trunk through the fused Pallas kernel
@@ -652,6 +653,7 @@ def pad_rows_to(x: Array, tile: int = 512) -> Array:
     return _pad_rows(x, tile)[0]
 
 
+@functools.lru_cache(maxsize=None)
 def make_fused_value_and_grad(model, compute_dtype=None, tile: int = 512,
                               fold_omega: bool = False, fast_sincos: bool = True,
                               n_rows: int | None = None):
@@ -716,6 +718,7 @@ def make_fused_value_and_grad(model, compute_dtype=None, tile: int = 512,
     return vag
 
 
+@functools.lru_cache(maxsize=None)
 def make_fused_value_grad_absmax(model, compute_dtype=None, tile: int = 512,
                                  fast_sincos: bool = True,
                                  n_rows: int | None = None):
@@ -773,6 +776,7 @@ def _needs_width_pad(ws: list) -> bool:
     ) or (n_layers > 1 and ws[2].shape[0] % 128 != 0)
 
 
+@functools.lru_cache(maxsize=None)
 def make_fused_weighted_value_and_grad(model, compute_dtype=None,
                                        tile: int = 512,
                                        fast_sincos: bool = True,

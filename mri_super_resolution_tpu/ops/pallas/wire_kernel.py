@@ -364,6 +364,7 @@ def make_wire_fused_apply(model, compute_dtype=None):
     return apply
 
 
+@functools.lru_cache(maxsize=None)
 def make_wire_value_and_grad(model, compute_dtype=None, tile: int = TILE_BWD):
     """One-pass (loss, grads) for the WIRE MSE fit (reference default
     trainable=False: omega/sigma gradients are zero)."""

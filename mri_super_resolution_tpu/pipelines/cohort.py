@@ -25,6 +25,7 @@ from mri_super_resolution_tpu.core.normalize import to_tensor_normalize
 from mri_super_resolution_tpu.data import Case
 from mri_super_resolution_tpu.models import Siren
 from mri_super_resolution_tpu.parallel import make_mesh, make_cohort_fit, stack_params
+from mri_super_resolution_tpu.fit.optim import cached_adam
 
 
 @dataclasses.dataclass
@@ -73,7 +74,7 @@ def run_cohort(
     keys = jax.random.split(jax.random.key(seed), C)
     params_stack = stack_params([model.init(k, coords[:4]) for k in keys])
 
-    fit = make_cohort_fit(model.apply, optax.adam(learning_rate), mesh, num_steps)
+    fit = make_cohort_fit(model.apply, cached_adam(learning_rate), mesh, num_steps)
 
     # compile (excluded from throughput)
     warm = fit(jax.tree.map(jnp.copy, params_stack), coords_stack, targets)

@@ -27,6 +27,7 @@ from mri_super_resolution_tpu.core.coords import fourier_matrix, fourier_encode,
 from mri_super_resolution_tpu.fit.engine import infer_grid
 from mri_super_resolution_tpu.models import Siren
 from mri_super_resolution_tpu.ops.nlls import hybrid_fit
+from mri_super_resolution_tpu.fit.optim import cached_adam
 
 Array = jax.Array
 
@@ -93,7 +94,7 @@ def fit_all_te(hybrid_raw, cfg: HybridConfig, seed: int = 0) -> HybridResult:
     params_stack = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *[model.init(k, ff[:8]) for k in keys]
     )
-    tx = optax.adam(cfg.lr)
+    tx = cached_adam(cfg.lr)
 
     @jax.jit
     def fit_stack(params_stack):

@@ -38,6 +38,7 @@ from mri_super_resolution_tpu.fit.engine import fit_until
 from mri_super_resolution_tpu.models import SirenERD
 from mri_super_resolution_tpu.ops.erd import soft_erd_mean, soft_erd_weights
 from mri_super_resolution_tpu.utils import save_pytree
+from mri_super_resolution_tpu.fit.optim import cached_adam
 
 Array = jax.Array
 
@@ -130,7 +131,7 @@ def run_case(
     apply_plain = functools.partial(model.apply, sample=0.0, eps=0.0)
     params, steps, loss = fit_until(
         apply_plain,
-        optax.adam(cfg.pretrain_lr),
+        cached_adam(cfg.pretrain_lr),
         init_fn,
         jax.random.key(seed),
         coords,

@@ -43,6 +43,7 @@ from mri_super_resolution_tpu.fit.engine import fit_until
 from mri_super_resolution_tpu.models import SirenERD
 from mri_super_resolution_tpu.ops.erd import soft_erd_weights
 from mri_super_resolution_tpu.pipelines.inr_erd import ERDCase, _label_params
+from mri_super_resolution_tpu.fit.optim import cached_adam
 
 Array = jax.Array
 
@@ -110,7 +111,7 @@ def run_slice(
     apply_plain = functools.partial(model.apply, sample=0.0, eps=0.0)
     params, steps, _ = fit_until(
         apply_plain,
-        optax.adam(cfg.pretrain_lr),
+        cached_adam(cfg.pretrain_lr),
         init_fn,
         jax.random.key(seed),
         coords_lr,

@@ -43,6 +43,7 @@ from mri_super_resolution_tpu.data import Case, MetricsCSV, CONTRAST_HEADER, sav
 from mri_super_resolution_tpu.fit.engine import fit_ensemble
 from mri_super_resolution_tpu.models import Siren
 from mri_super_resolution_tpu.ops.erd import auto_erd
+from mri_super_resolution_tpu.fit.optim import cached_adam
 
 Array = jax.Array
 
@@ -127,7 +128,7 @@ def fit_directions(
     )
     keys = jax.random.split(jax.random.key(seed), D)
     params_stack = jax.vmap(lambda k: model.init(k, coords[:4]))(keys)
-    tx = optax.adam(cfg.learning_rate)
+    tx = cached_adam(cfg.learning_rate)
 
     valid = np.zeros((D, A_max), dtype=bool)
     for d, n in enumerate(acquisitions):

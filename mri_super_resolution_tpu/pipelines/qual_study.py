@@ -39,6 +39,7 @@ from mri_super_resolution_tpu.models import SirenERD
 from mri_super_resolution_tpu.ops.erd import soft_erd_weights
 from mri_super_resolution_tpu.ops.perceptual import score_panel
 from mri_super_resolution_tpu.pipelines.inr_erd import ERDCase, _label_params
+from mri_super_resolution_tpu.fit.optim import cached_adam
 
 ARMS = ("low", "interpolated", "SR", "base")
 
@@ -85,7 +86,7 @@ def build_panel(
 
     apply_plain = functools.partial(model.apply, sample=0.0, eps=0.0)
     params, _, _ = fit_until(
-        apply_plain, optax.adam(cfg.pretrain_lr), init_fn,
+        apply_plain, cached_adam(cfg.pretrain_lr), init_fn,
         jax.random.key(seed), coords, target,
         loss_threshold=cfg.loss_threshold, max_steps=100_000,
     )

@@ -40,6 +40,7 @@ from mri_super_resolution_tpu.data import (
 )
 from mri_super_resolution_tpu.fit.engine import fit_alternating_pn, infer_grid
 from mri_super_resolution_tpu.models import Siren, PerturbNet
+from mri_super_resolution_tpu.fit.optim import cached_adam
 
 Array = jax.Array
 
@@ -134,8 +135,8 @@ def run_patient(
     res = fit_alternating_pn(
         inr_apply,
         pn.apply,
-        optax.adam(cfg.inr_lr),
-        optax.adam(cfg.pn_lr),
+        cached_adam(cfg.inr_lr),
+        cached_adam(cfg.pn_lr),
         inr_params,
         pn_params,
         ff,
