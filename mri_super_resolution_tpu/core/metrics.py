@@ -37,7 +37,10 @@ class ContrastMetrics(NamedTuple):
     CNR2: Array
 
 
-@functools.partial(jax.jit, static_argnames=("cancer_loc", "contralateral_loc", "noise_loc", "scale", "focus"))
+# locations are TRACED (dynamic_slice handles them): per-case locations as
+# static args would compile a fresh tiny executable per case, which costs
+# seconds each through this environment's tunnelled compile server
+@functools.partial(jax.jit, static_argnames=("scale", "focus"))
 def contrast_cnr(
     image: Array,
     cancer_loc: tuple[int, int],
@@ -78,7 +81,7 @@ class CNRSNRMetrics(NamedTuple):
     CR: Array
 
 
-@functools.partial(jax.jit, static_argnames=("cancer_loc", "contralateral_loc", "noise_loc"))
+@jax.jit  # locations traced, not static — see contrast_cnr note
 def cnr_snr_log10(
     image: Array,
     cancer_loc: tuple[int, int],
