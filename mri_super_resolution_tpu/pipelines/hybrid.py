@@ -96,14 +96,30 @@ def fit_all_te(hybrid_raw, cfg: HybridConfig, seed: int = 0) -> HybridResult:
     )
     tx = cached_adam(cfg.lr)
 
+    # the four per-TE fits ride the one-pass fused kernel on TPU (vmapped),
+    # with the loop-invariant coordinate pad hoisted out of the scan
+    vag = None
+    ff_fit, targets_fit = ff, targets
+    if jax.devices()[0].platform == "tpu" and cfg.hidden_dim % 128 == 0:
+        from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+            make_fused_value_and_grad, pad_rows_to)
+
+        vag = make_fused_value_and_grad(model, n_rows=ff.shape[0])
+        ff_fit = pad_rows_to(ff, 512)
+        pad = ff_fit.shape[0] - ff.shape[0]
+        targets_fit = jnp.pad(targets, ((0, 0), (0, pad), (0, 0)))
+
     @jax.jit
     def fit_stack(params_stack):
         def one(params, target):
             def step(carry, _):
                 p, o = carry
-                loss, grads = jax.value_and_grad(
-                    lambda p: jnp.mean((model.apply(p, ff) - target) ** 2)
-                )(p)
+                if vag is not None:
+                    loss, grads = vag(p, ff_fit, target)
+                else:
+                    loss, grads = jax.value_and_grad(
+                        lambda p: jnp.mean((model.apply(p, ff_fit) - target) ** 2)
+                    )(p)
                 updates, o = tx.update(grads, o)
                 return (optax.apply_updates(p, updates), o), loss
 
@@ -112,7 +128,7 @@ def fit_all_te(hybrid_raw, cfg: HybridConfig, seed: int = 0) -> HybridResult:
             )
             return p, losses
 
-        return jax.vmap(one)(params_stack, targets)
+        return jax.vmap(one)(params_stack, targets_fit)
 
     fitted, losses = fit_stack(params_stack)
 
