@@ -151,3 +151,25 @@ class TestInferGrid:
         params = model.init(jax.random.key(3), coords)
         out = infer_grid(model.apply, params, coords, clamp_min=0.0)
         assert float(out.min()) >= 0.0
+
+
+class TestCachedAdam:
+    def test_identity_stable(self):
+        """cached_adam must return the SAME object for equal lr — the fit
+        engines take tx as a jit static arg, and a fresh optax.adam per case
+        forces a retrace + executable reload per case."""
+        from mri_super_resolution_tpu.fit.optim import cached_adam
+
+        assert cached_adam(1e-4) is cached_adam(1e-4)
+        assert cached_adam(1e-4) is not cached_adam(3e-4)
+
+    def test_builders_memoised(self):
+        """The Pallas vag builders are memoised by model (flax modules hash
+        by field values), for the same reason."""
+        from mri_super_resolution_tpu.models import Siren
+        from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+            make_fused_value_and_grad)
+
+        a = make_fused_value_and_grad(Siren(hidden_features=128, hidden_layers=2))
+        b = make_fused_value_and_grad(Siren(hidden_features=128, hidden_layers=2))
+        assert a is b
