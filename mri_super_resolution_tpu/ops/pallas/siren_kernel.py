@@ -744,6 +744,16 @@ def make_fused_value_grad_absmax(model, compute_dtype=None, tile: int = 512,
     return vag
 
 
+def tpu_value_grad_absmax(model, **kw):
+    """:func:`make_fused_value_grad_absmax` when running on TPU (and the
+    model's hidden width fits the 128-lane constraint), else None — the gate
+    every fit_until pipeline uses (pass straight to
+    ``fit_until(value_grad_absmax_fn=...)``)."""
+    if not _is_tpu() or int(model.hidden_features) % 128:
+        return None
+    return make_fused_value_grad_absmax(model, **kw)
+
+
 def _round128(n: int) -> int:
     return -(-n // 128) * 128
 

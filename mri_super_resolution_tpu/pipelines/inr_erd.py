@@ -122,12 +122,10 @@ def run_case(
     # phase 1: trunk-only training (perturb off via eps=0, sample=0);
     # on TPU the one-pass fused kernel also carries the collapse signal
     # (~5x faster per step than the XLA autodiff path at this config)
-    vag_absmax = None
-    if jax.devices()[0].platform == "tpu":
-        from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
-            make_fused_value_grad_absmax)
+    from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+        tpu_value_grad_absmax)
 
-        vag_absmax = make_fused_value_grad_absmax(model)
+    vag_absmax = tpu_value_grad_absmax(model)
     apply_plain = functools.partial(model.apply, sample=0.0, eps=0.0)
     params, steps, loss = fit_until(
         apply_plain,

@@ -109,6 +109,9 @@ def run_slice(
 
     # phase 1 (cell 7): trunk-only fit to the LR mean, restart-on-collapse
     apply_plain = functools.partial(model.apply, sample=0.0, eps=0.0)
+    from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+        tpu_value_grad_absmax)
+
     params, steps, _ = fit_until(
         apply_plain,
         cached_adam(cfg.pretrain_lr),
@@ -116,6 +119,7 @@ def run_slice(
         jax.random.key(seed),
         coords_lr,
         target,
+        value_grad_absmax_fn=tpu_value_grad_absmax(model),
         loss_threshold=cfg.loss_threshold,
         max_steps=cfg.max_pretrain_steps,
     )

@@ -85,10 +85,14 @@ def build_panel(
         return model.init(key, coords, 0.0, 0.0)
 
     apply_plain = functools.partial(model.apply, sample=0.0, eps=0.0)
+    from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+        tpu_value_grad_absmax)
+
     params, _, _ = fit_until(
         apply_plain, cached_adam(cfg.pretrain_lr), init_fn,
         jax.random.key(seed), coords, target,
         loss_threshold=cfg.loss_threshold, max_steps=100_000,
+        value_grad_absmax_fn=tpu_value_grad_absmax(model),
     )
 
     # soft-ERD weights on half-res acquisitions (prepare_qual_images.py:205-219)
