@@ -18,7 +18,6 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from mri_super_resolution_tpu.core.coords import mgrid
 from mri_super_resolution_tpu.core.normalize import to_tensor_normalize

@@ -31,7 +31,6 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from mri_super_resolution_tpu.config import Master2DConfig
 from mri_super_resolution_tpu.core import adc as adc_lib

@@ -24,7 +24,6 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from mri_super_resolution_tpu.config import SupperresDWIConfig
 from mri_super_resolution_tpu.core.adc import adc_polyfit
