@@ -82,7 +82,8 @@ def main(argv=None):
     patients = []
     if args.master_mats:
         for path in args.master_mats:
-            pt_id = os.path.basename(os.path.dirname(path)) or os.path.basename(path)
+            pt_id = (os.path.basename(os.path.dirname(path))
+                     or os.path.splitext(os.path.basename(path))[0])
             hybrid_all, b = superres3d.load_hybrid(path)
             patients.append((pt_id, hybrid_all, np.asarray(b)))
     else:

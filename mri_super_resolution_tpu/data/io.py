@@ -26,8 +26,38 @@ import numpy as np
 # MATLAB loading
 # --------------------------------------------------------------------------
 
+def _from_h5(obj, f):
+    """Convert one MATLAB v7.3 HDF5 node to mat73-like Python values.
+
+    MATLAB stores arrays column-major (we transpose back), cell arrays as
+    datasets of HDF5 object references into ``/#refs#`` (resolved recursively
+    into an object ndarray, so ``data['hybrid_raw'][b][te]`` works exactly as
+    it does on scipy-loaded v5 files — superresDWI.py:45-55), char arrays as
+    uint16 codepoints, and struct (arrays) as groups."""
+    import h5py
+
+    if isinstance(obj, h5py.Group):
+        return {k: _from_h5(obj[k], f) for k in obj.keys()}
+    if obj.dtype.kind == "O":  # cell array: references into #refs#
+        arr = np.asarray(obj)
+        out = np.empty(arr.shape[::-1], dtype=object)
+        it = np.nditer(arr, flags=["multi_index", "refs_ok"])
+        for ref in it:
+            out[it.multi_index[::-1]] = _from_h5(f[ref.item()], f)
+        return out
+    data = np.asarray(obj)
+    if obj.attrs.get("MATLAB_class") in (b"char", "char"):
+        return "".join(map(chr, data.T.reshape(-1)))
+    return data.T
+
+
 def load_mat(path: str, key: str | None = None):
-    """Load a MATLAB file; v5 via scipy, v7.3 (HDF5) via h5py."""
+    """Load a MATLAB file; v5 via scipy, v7.3 (HDF5) via h5py.
+
+    Covers every schema the reference loads (nn_mri.py:46-54,
+    INR_ERD.py:89-95, superresHybrid.py:44-50): plain numeric arrays, cell
+    arrays (v5 object ndarrays / v7.3 reference datasets), char arrays and
+    structs. Unknown layouts raise with the offending key named."""
     import scipy.io as sio
 
     try:
@@ -39,10 +69,14 @@ def load_mat(path: str, key: str | None = None):
         data = {}
         with h5py.File(path, "r") as f:
             for k in f.keys():
-                v = f[k]
-                if hasattr(v, "shape"):
-                    # MATLAB HDF5 stores column-major; transpose to match sio
-                    data[k] = np.asarray(v).T
+                if k == "#refs#":
+                    continue
+                try:
+                    data[k] = _from_h5(f[k], f)
+                except Exception as e:  # precise message beats a deep trace
+                    raise ValueError(
+                        f"{path}: cannot decode MATLAB v7.3 entry {k!r} "
+                        f"({type(e).__name__}: {e})") from e
     if key is not None:
         return data[key]
     return data
@@ -53,6 +87,57 @@ def save_mat(path: str, arrays: dict) -> None:
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     sio.savemat(path, arrays)
+
+
+def save_mat73(path: str, arrays: dict) -> None:
+    """Write a MATLAB v7.3 (HDF5) file the way MATLAB does: 512-byte
+    userblock with the "MATLAB 7.3" header + version 0x0200 (so scipy routes
+    it to the h5py path exactly like a real file), column-major datasets with
+    ``MATLAB_class`` attrs, and cell arrays (nested lists / object ndarrays)
+    as reference datasets into ``/#refs#``. Exists so tests can fabricate
+    files with the *actual* pat*_alldata.mat / master.mat layouts before
+    first contact with real patient data."""
+    import h5py
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def write_value(f, group, name, value):
+        if isinstance(value, str):
+            ds = group.create_dataset(
+                name, data=np.array([[ord(c)] for c in value], np.uint16))
+            ds.attrs["MATLAB_class"] = np.bytes_(b"char")
+            return ds
+        value = np.asarray(value)
+        if value.dtype == object:
+            refs = f.require_group("#refs#")
+            out = np.empty(value.shape[::-1], dtype=h5py.ref_dtype)
+            it = np.nditer(value, flags=["multi_index", "refs_ok"])
+            for cell in it:
+                cname = f"c{len(refs)}"
+                cds = write_value(f, refs, cname, cell.item())
+                out[it.multi_index[::-1]] = cds.ref
+            ds = group.create_dataset(name, data=out)
+            ds.attrs["MATLAB_class"] = np.bytes_(b"cell")
+            return ds
+        if value.ndim == 0:
+            value = value.reshape(1, 1)
+        ds = group.create_dataset(name, data=value.T)
+        cls = {"f8": b"double", "f4": b"single", "i2": b"int16", "u2":
+               b"uint16", "i4": b"int32", "u4": b"uint32", "u1": b"uint8",
+               "i1": b"int8", "i8": b"int64", "u8": b"uint64"}.get(
+                   value.dtype.str[1:], b"double")
+        ds.attrs["MATLAB_class"] = np.bytes_(cls)
+        return ds
+
+    with h5py.File(path, "w", userblock_size=512) as f:
+        for k, v in arrays.items():
+            write_value(f, f, k, v)
+    header = (b"MATLAB 7.3 MAT-file, written by mri-super-resolution-tpu"
+              .ljust(116, b" ") + b"\x00" * 8)
+    with open(path, "r+b") as fh:
+        fh.write(header[:124])
+        fh.seek(124)
+        fh.write(b"\x00\x02IM")  # version 0x0200, little-endian marker
 
 
 # --------------------------------------------------------------------------

@@ -42,7 +42,10 @@ def get_lib():
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not os.path.exists(_LIB) and not _build():
+        stale = (not os.path.exists(_LIB)
+                 or (os.path.exists(_SRC)
+                     and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)))
+        if stale and not _build() and not os.path.exists(_LIB):
             _load_failed = True
             return None
         try:
@@ -69,6 +72,9 @@ def get_lib():
         ]
         lib.mri_array_data.restype = ctypes.c_int64
         lib.mri_release.argtypes = [ctypes.c_int64]
+        if hasattr(lib, "mri_notes"):  # 0.2.0+: skip reasons for cell/struct
+            lib.mri_notes.argtypes = [ctypes.c_int64, ctypes.c_char_p, ctypes.c_int]
+            lib.mri_notes.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -100,9 +106,37 @@ def _extract(lib, handle) -> dict[str, np.ndarray]:
     return out
 
 
+def _reassemble_cells(arrays: dict) -> dict:
+    """Rebuild MATLAB cell arrays from the native reader's flat encoding:
+    ``name#cell`` carries the cell dims; ``name#<i>`` are the cells in
+    column-major order. Result: an object ndarray, indexable ``[b][te]``
+    exactly like scipy's v5 load (superresHybrid.py:50-55)."""
+    markers = [k for k in arrays if k.endswith("#cell")]
+    for marker in markers:
+        name = marker[: -len("#cell")]
+        dims = tuple(int(d) for d in arrays.pop(marker).reshape(-1))
+        cell = np.empty(dims, dtype=object)
+        for i in range(cell.size):
+            # cells are stored column-major; reshape(order="F") would copy
+            cell[np.unravel_index(i, dims, order="F")] = \
+                arrays.pop(f"{name}#{i}", None)
+        arrays[name] = cell
+    return arrays
+
+
+def _notes(lib, handle) -> str:
+    if not hasattr(lib, "mri_notes"):
+        return ""
+    buf = ctypes.create_string_buffer(4096)
+    lib.mri_notes(handle, buf, 4096)
+    return buf.value.decode(errors="replace")
+
+
 def load_mat_native(path: str, key: str | None = None):
     """Native v5 load; raises RuntimeError if the library can't parse it
-    (caller falls back to scipy)."""
+    (caller falls back to scipy). Cell arrays of numeric arrays come back as
+    object ndarrays; unsupported variables raise with the reader's precise
+    skip note instead of a bare KeyError."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native IO unavailable")
@@ -110,10 +144,14 @@ def load_mat_native(path: str, key: str | None = None):
     if handle == 0:
         raise RuntimeError(f"native loader failed for {path}")
     try:
-        arrays = _extract(lib, handle)
+        arrays = _reassemble_cells(_extract(lib, handle))
+        notes = _notes(lib, handle)
     finally:
         lib.mri_release(handle)
     if key is not None:
+        if key not in arrays:
+            hint = f" (native reader notes: {notes})" if notes else ""
+            raise RuntimeError(f"{path}: variable {key!r} not decoded{hint}")
         return arrays[key]
     return arrays
 
@@ -155,6 +193,6 @@ class Prefetcher:
                 raise TimeoutError("prefetch timed out")
             time.sleep(0.002)
         try:
-            return _extract(self.lib, handle)
+            return _reassemble_cells(_extract(self.lib, handle))
         finally:
             self.lib.mri_release(handle)

@@ -422,5 +422,11 @@ def infer_grid(
 
     if P <= chunk:
         return run(coords)
-    outs = [run(coords[i : i + chunk]) for i in range(0, P, chunk)]
-    return jnp.concatenate(outs, axis=0)
+    # Pad the ragged last chunk to the full chunk size so every slice hits
+    # the SAME executable — a second compile per (shape, model) costs minutes
+    # on tunnelled-compile environments; P % chunk wasted rows cost ~nothing.
+    if P % chunk:
+        pad = chunk - P % chunk
+        coords = jnp.concatenate([coords, coords[:pad]], axis=0)
+    outs = [run(coords[i : i + chunk]) for i in range(0, coords.shape[0], chunk)]
+    return jnp.concatenate(outs, axis=0)[:P]

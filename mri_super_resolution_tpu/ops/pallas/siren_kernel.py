@@ -751,6 +751,9 @@ def tpu_value_grad_absmax(model, **kw):
     ``fit_until(value_grad_absmax_fn=...)``)."""
     if not _is_tpu() or int(model.hidden_features) % 128:
         return None
+    omega = float(model.hidden_omega_0)
+    if float(getattr(model, "first_omega_0", omega)) != omega:
+        return None  # absmax kernel has no fold_omega path; fall back to XLA
     return make_fused_value_grad_absmax(model, **kw)
 
 

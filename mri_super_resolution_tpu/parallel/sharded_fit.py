@@ -58,14 +58,12 @@ def make_sharded_fit(
     vox_sharded = NamedSharding(mesh, P("data"))
 
     if value_and_grad_fn is not None:
-        from jax.experimental.shard_map import shard_map
-
         local_vag = functools.partial(
-            shard_map,
+            jax.shard_map,
             mesh=mesh,
             in_specs=(P(), P("data"), P("data")),
             out_specs=(P(), P()),
-            check_rep=False,  # pallas_call defeats the replication checker
+            check_vma=False,  # pallas_call defeats the replication checker
         )(
             lambda p, c, t: tuple(
                 jax.lax.pmean(v, "data") for v in value_and_grad_fn(p, c, t)

@@ -40,7 +40,8 @@ constexpr uint32_t miINT8 = 1, miUINT8 = 2, miINT16 = 3, miUINT16 = 4,
 
 constexpr uint32_t mxDOUBLE_CLASS = 6, mxSINGLE_CLASS = 7, mxINT16_CLASS = 10,
                    mxUINT16_CLASS = 11, mxINT32_CLASS = 12, mxUINT32_CLASS = 13,
-                   mxUINT8_CLASS = 9, mxINT8_CLASS = 8;
+                   mxUINT8_CLASS = 9, mxINT8_CLASS = 8, mxCELL_CLASS = 1,
+                   mxSTRUCT_CLASS = 2, mxOBJECT_CLASS = 3, mxCHAR_CLASS = 4;
 
 struct Array {
   std::string name;
@@ -105,7 +106,15 @@ size_t dtype_size(uint32_t t) {
   }
 }
 
-bool parse_matrix(const uint8_t* p, size_t n, Array& out) {
+// Parse one miMATRIX payload. Numeric classes append one Array. A cell array
+// of numeric arrays (the master.mat 'hybrid_raw' layout,
+// implicit-neural-representations/superresHybrid.py:44-50) appends a marker
+// Array "<name>#cell" whose data holds the cell dims, then one
+// "<name>#<i>" per cell in column-major order — the Python side reassembles
+// an object ndarray from these. Unsupported classes (struct/char/object)
+// record a precise note instead of vanishing silently.
+bool parse_matrix(const uint8_t* p, size_t n, const std::string& forced_name,
+                  std::vector<Array>& arrays, std::string& notes) {
   Cursor c{p, n};
   uint32_t type, size;
   const uint8_t* data;
@@ -122,24 +131,58 @@ bool parse_matrix(const uint8_t* p, size_t n, Array& out) {
   if (!read_tag(c, type, size, data, adv)) return false;
   if (type != miINT32) return false;
   size_t ndim = size / 4;
-  out.dims.resize(ndim);
+  std::vector<int64_t> dims(ndim);
+  size_t count = 1;
   for (size_t i = 0; i < ndim; ++i) {
     int32_t d;
     std::memcpy(&d, data + 4 * i, 4);
-    out.dims[i] = d;
+    dims[i] = d;
+    count *= static_cast<size_t>(d < 0 ? 0 : d);
   }
   c.off += adv;
 
-  // name
+  // name (empty for arrays nested inside a cell; the caller supplies one)
   if (!read_tag(c, type, size, data, adv)) return false;
-  out.name.assign(reinterpret_cast<const char*>(data), size);
+  std::string name(reinterpret_cast<const char*>(data), size);
+  if (!forced_name.empty()) name = forced_name;
   c.off += adv;
+
+  if (cls == mxCELL_CLASS) {
+    Array marker;
+    marker.name = name + "#cell";
+    marker.dims = {static_cast<int64_t>(ndim)};
+    for (int64_t d : dims) marker.data.push_back(static_cast<double>(d));
+    arrays.push_back(std::move(marker));
+    for (size_t i = 0; i < count; ++i) {
+      if (!read_tag(c, type, size, data, adv) || type != miMATRIX) {
+        notes += "truncated cell array '" + name + "'; ";
+        return false;
+      }
+      parse_matrix(data, size, name + "#" + std::to_string(i), arrays, notes);
+      c.off += adv;
+    }
+    return true;
+  }
+  if (cls == mxSTRUCT_CLASS || cls == mxOBJECT_CLASS || cls == mxCHAR_CLASS) {
+    notes += "skipped variable '" + name + "' (MATLAB class " +
+             std::to_string(cls) +
+             (cls == mxCHAR_CLASS ? " char" : " struct/object") +
+             " unsupported by the native reader; scipy path handles it); ";
+    return false;
+  }
 
   // real part
   if (!read_tag(c, type, size, data, adv)) return false;
   size_t esz = dtype_size(type);
-  if (!esz) return false;
-  size_t count = size / esz;
+  if (!esz) {
+    notes += "skipped variable '" + name + "' (element type " +
+             std::to_string(type) + " unsupported); ";
+    return false;
+  }
+  Array out;
+  out.name = std::move(name);
+  out.dims = std::move(dims);
+  count = size / esz;
   switch (type) {
     case miDOUBLE: convert<double>(data, count, out.data); break;
     case miSINGLE: convert<float>(data, count, out.data); break;
@@ -152,6 +195,7 @@ bool parse_matrix(const uint8_t* p, size_t n, Array& out) {
     default: return false;
   }
   (void)cls;
+  arrays.push_back(std::move(out));
   return true;
 }
 
@@ -187,7 +231,7 @@ bool inflate_buf(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
 }
 
 bool load_mat(const std::string& path, std::vector<Array>& arrays,
-              std::string& err) {
+              std::string& err, std::string& notes) {
   std::ifstream f(path, std::ios::binary);
   if (!f) {
     err = "cannot open " + path;
@@ -223,17 +267,15 @@ bool load_mat(const std::string& path, std::vector<Array>& arrays,
       const uint8_t* idata;
       size_t iadv;
       if (read_tag(ic, itype, isize, idata, iadv) && itype == miMATRIX) {
-        Array a;
-        if (parse_matrix(idata, isize, a)) arrays.push_back(std::move(a));
+        parse_matrix(idata, isize, "", arrays, notes);
       }
     } else if (type == miMATRIX) {
-      Array a;
-      if (parse_matrix(data, size, a)) arrays.push_back(std::move(a));
+      parse_matrix(data, size, "", arrays, notes);
     }
     c.off += adv;
   }
   if (arrays.empty()) {
-    err = "no numeric arrays found";
+    err = "no numeric arrays found" + (notes.empty() ? "" : ": " + notes);
     return false;
   }
   return true;
@@ -246,6 +288,7 @@ bool load_mat(const std::string& path, std::vector<Array>& arrays,
 struct Loaded {
   std::vector<Array> arrays;
   std::string err;
+  std::string notes;  // precise skip reasons for unsupported variables
   bool ok = false;
   bool done = false;
 };
@@ -295,7 +338,7 @@ struct Pool {
         std::lock_guard<std::mutex> l(g_mu);
         slot = g_handles[job.first];
       }
-      slot->ok = load_mat(job.second, slot->arrays, slot->err);
+      slot->ok = load_mat(job.second, slot->arrays, slot->err, slot->notes);
       {
         std::lock_guard<std::mutex> l(g_mu);
         slot->done = true;
@@ -313,7 +356,7 @@ extern "C" {
 // Synchronous load. Returns handle > 0 or 0 on failure.
 int64_t mri_load(const char* path) {
   auto slot = std::make_shared<Loaded>();
-  slot->ok = load_mat(path, slot->arrays, slot->err);
+  slot->ok = load_mat(path, slot->arrays, slot->err, slot->notes);
   slot->done = true;
   if (!slot->ok) return 0;
   std::lock_guard<std::mutex> l(g_mu);
@@ -391,6 +434,19 @@ void mri_release(int64_t handle) {
   g_handles.erase(handle);
 }
 
-const char* mri_version() { return "mri_io 0.1.0"; }
+// Copies skip-notes (unsupported-variable reasons) into buf; returns the
+// full length of the notes string, or -1 for a bad handle.
+int mri_notes(int64_t handle, char* buf, int buf_len) {
+  std::lock_guard<std::mutex> l(g_mu);
+  auto it = g_handles.find(handle);
+  if (it == g_handles.end()) return -1;
+  const auto& notes = it->second->notes;
+  int n = std::min<int>(buf_len - 1, notes.size());
+  std::memcpy(buf, notes.data(), n);
+  buf[n] = 0;
+  return static_cast<int>(notes.size());
+}
+
+const char* mri_version() { return "mri_io 0.2.0"; }
 
 }  // extern "C"
