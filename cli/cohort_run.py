@@ -25,7 +25,22 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tensorboard_dir", default=None,
                    help="write per-case loss curves as tfevents under this dir")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed (multi-host): coordinator/"
+                        "rank from MRI_SR_COORDINATOR / MRI_SR_NUM_PROCESSES /"
+                        " MRI_SR_PROCESS_ID or auto-detection; see "
+                        "docs/MULTIHOST.md")
     args = p.parse_args(argv)
+
+    if args.distributed:
+        from mri_super_resolution_tpu.parallel import init_distributed
+
+        multi = init_distributed()
+        import jax
+
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} global devices"
+              f" ({'multi' if multi else 'single'}-process)")
 
     cases = load_cases(limit=args.limit_cases)
     if not cases:

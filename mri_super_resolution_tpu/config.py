@@ -78,6 +78,7 @@ class RAMSConfig:
     N: int = 12  # number of RFABs
     mean: float = 7433.6436  # PROBA-V normalisation (network.py:18-19)
     std: float = 2353.0723
+    compute_dtype: str = "float32"  # "bfloat16" halves activation HBM traffic
 
 
 @dataclasses.dataclass

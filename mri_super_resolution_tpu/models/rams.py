@@ -57,16 +57,54 @@ def reflect_pad_hw(x: Array, pad: int = 1) -> Array:
     return jnp.pad(x, cfg, mode="reflect")
 
 
+@jax.custom_vjp
+def weight_norm_kernel(v: Array, g: Array) -> Array:
+    """Effective kernel ``g * v / ||v||`` (norm over all non-output axes).
+
+    custom_vjp with the math done on a flattened (K, F) view: XLA's autodiff
+    of the naive 5-D form emitted one pathological ~150 us reduce-fusion per
+    conv on TPU (measured 5.1 ms/step across RAMS's 34 WN convs — the single
+    largest line in the round-2 profile); the closed-form backward on a 2-D
+    view is a few fast column reductions."""
+    v2 = v.reshape(-1, v.shape[-1])
+    n = jnp.sqrt(jnp.sum(v2 * v2, axis=0) + 1e-12)
+    return (v2 * (g / n)).reshape(v.shape)
+
+
+def _wn_fwd(v, g):
+    v2 = v.reshape(-1, v.shape[-1])
+    n = jnp.sqrt(jnp.sum(v2 * v2, axis=0) + 1e-12)
+    return (v2 * (g / n)).reshape(v.shape), (v2, g, n, v.shape)
+
+
+def _wn_bwd(res, dw):
+    v2, g, n, vshape = res
+    dw2 = dw.reshape(v2.shape)
+    vhat = v2 / n
+    dg = jnp.sum(dw2 * vhat, axis=0)
+    dv2 = (g / n) * (dw2 - vhat * dg)
+    return dv2.reshape(vshape), dg
+
+
+weight_norm_kernel.defvjp(_wn_fwd, _wn_bwd)
+
+
 class WNConv(nn.Module):
     """Weight-normalised N-D convolution (tfa WeightNormalization analog).
 
     kernel v: Keras glorot_uniform; scale g: ones (data_init=False).
     Effective kernel = g * v / ||v|| with the norm over all non-output axes.
+
+    ``dtype`` (compute dtype): kernel/activations cast to it for the conv —
+    bfloat16 halves the HBM traffic that dominates the RAMS step on TPU —
+    while the accumulator stays float32 (``preferred_element_type``) and the
+    v/g/bias params stay float32 masters.
     """
 
     features: int
     kernel_size: Sequence[int]
     padding: str = "SAME"
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -75,20 +113,24 @@ class WNConv(nn.Module):
         v = self.param("v", nn.initializers.glorot_uniform(), kshape)
         g = self.param("g", nn.initializers.ones, (self.features,))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        axes = tuple(range(v.ndim - 1))
-        norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True) + 1e-12)
-        kernel = g * v / norm
+        kernel = weight_norm_kernel(v, g)
+        dtype = self.dtype or x.dtype
         ndim = len(self.kernel_size)
         # channels-last conv: spatial dims between batch and feature
         lhs_spec = "N" + "".join("DHW"[-ndim:]) + "C"
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, (lhs_spec, "".join("DHW"[-ndim:]) + "IO", lhs_spec)
         )
+        # conv fully in the compute dtype: the TPU MXU accumulates bf16
+        # convs in f32 internally, and a mixed bf16-in/f32-out conv
+        # (preferred_element_type) breaks the conv transpose rule's dtype
+        # check under autodiff
         out = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(1,) * ndim, padding=self.padding,
+            x.astype(dtype), kernel.astype(dtype),
+            window_strides=(1,) * ndim, padding=self.padding,
             dimension_numbers=dn,
         )
-        return out + b
+        return out + b.astype(dtype)
 
 
 class RFAB(nn.Module):
@@ -107,11 +149,12 @@ class RFAB(nn.Module):
         x = WNConv(self.filters, k)(x)
         to_scale = x
         # channel attention: GAP -> 1x1x1 bottleneck -> sigmoid gate
-        att = x.mean(axis=(1, 2, 3), keepdims=True)
+        # (GAP accumulates in f32 — a bf16 mean over ~10k elements drifts)
+        att = x.astype(jnp.float32).mean(axis=(1, 2, 3), keepdims=True)
         att = WNConv(self.filters // self.r, (1, 1, 1))(att)
         att = nn.relu(att)
         att = WNConv(self.filters, (1, 1, 1))(att)
-        att = nn.sigmoid(att)
+        att = nn.sigmoid(att).astype(x.dtype)
         return to_scale * att + res
 
 
@@ -130,11 +173,11 @@ class RTAB(nn.Module):
         x = nn.relu(x)
         x = WNConv(self.filters, k)(x)
         to_scale = x
-        att = x.mean(axis=(1, 2), keepdims=True)
+        att = x.astype(jnp.float32).mean(axis=(1, 2), keepdims=True)
         att = WNConv(self.filters // self.r, (1, 1))(att)
         att = nn.relu(att)
         att = WNConv(self.filters, (1, 1))(att)
-        att = nn.sigmoid(att)
+        att = nn.sigmoid(att).astype(x.dtype)
         return to_scale * att + res
 
 
@@ -152,10 +195,13 @@ class RAMS(nn.Module):
     N: int = 12
     mean: float = MEAN
     std: float = STD
+    # activation compute dtype; bfloat16 halves the HBM traffic that
+    # dominates the TPU step (params/accumulators/GAP/loss stay f32)
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = normalize(x, self.mean, self.std)
+        x = normalize(x, self.mean, self.std).astype(self.compute_dtype)
         global_res = x  # (B, H, W, T)
 
         x = x[..., None]  # (B, H, W, T, 1)
@@ -186,4 +232,5 @@ class RAMS(nn.Module):
         g = WNConv(self.scale**2, (3, 3), padding="VALID")(g)
         g = depth_to_space(g, self.scale)
 
-        return denormalize(x + g, self.mean, self.std)
+        out = x.astype(jnp.float32) + g.astype(jnp.float32)
+        return denormalize(out, self.mean, self.std)

@@ -115,6 +115,30 @@ _PI2_HI = 6.28125  # Cody-Waite split of 2*pi (hi exact in f32)
 _PI2_LO = 0.0019353071795864769
 
 
+_LOG2E = 1.4426950408889634
+_LN2_HI = 0.693145751953125  # Cody-Waite split of ln 2 (hi exact in f32)
+_LN2_LO = 1.4286068203094172e-06
+# exp(r) Taylor on [-ln2/2, ln2/2]; deg-6 remainder r^7/7! < 1.3e-7
+_EXP_C = (1.0, 1.0, 0.5, 1.0 / 6, 1.0 / 24, 1.0 / 120, 1.0 / 720)
+
+
+def _fast_exp(u):
+    """exp(u) as 2^k * exp(r): ldexp via exponent-bit construction + short
+    Taylor polynomial. Builtin jnp.exp pays a generic libdevice-style
+    expansion on the VPU; this is ~10 ops. |rel err| < ~2e-7. k clamps to
+    the normal-f32 exponent range, so u < -87 underflows to ~0 and u > 88
+    saturates at ~2^127 instead of inf — the Gabor window (wire_kernel) is
+    bounded well inside that."""
+    k = jnp.round(u * _LOG2E)
+    r = (u - k * _LN2_HI) - k * _LN2_LO
+    p = _EXP_C[6]
+    for c in _EXP_C[5::-1]:
+        p = p * r + c
+    ki = jnp.clip(k, -126.0, 127.0).astype(jnp.int32)
+    two_k = jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
+    return p * two_k
+
+
 def _fast_sincos(z, need_cos: bool = True):
     """sin(z) (and cos(z)) via ONE shared range reduction + short polynomials.
 

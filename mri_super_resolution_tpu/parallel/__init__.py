@@ -13,3 +13,11 @@ from mri_super_resolution_tpu.parallel.sharded_fit import (  # noqa: F401
     make_cohort_fit,
     stack_params,
 )
+from mri_super_resolution_tpu.parallel.distributed import (  # noqa: F401
+    global_mesh,
+    host_local_slice,
+    init_distributed,
+    make_global_batch,
+    restore_sharded,
+    save_sharded,
+)

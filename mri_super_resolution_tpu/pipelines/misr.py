@@ -34,6 +34,7 @@ def build_rams(cfg: RAMSConfig) -> RAMS:
         N=cfg.N,
         mean=cfg.mean,
         std=cfg.std,
+        compute_dtype=cfg.compute_dtype,
     )
 
 

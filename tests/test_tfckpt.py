@@ -72,6 +72,15 @@ def test_all_red_checkpoints_agree():
         assert _tf_shape_multiset(other) == base
 
 
+def test_reader_matches_tensorflow_if_available():
+    """Cross-validate the from-scratch SSTable reader against TF's own
+    list_variables (reads only the index, so missing data shards are fine)."""
+    tf = pytest.importorskip("tensorflow")
+    ours = {k: tuple(v.shape) for k, v in read_index(RED).items()}
+    theirs = {k: tuple(v) for k, v in tf.train.list_variables(RED[:-6])}
+    assert ours == theirs
+
+
 def test_nir_rams_same_architecture():
     """NIR_RAMS (the other band's checkpoint) is the same architecture."""
     nir = os.path.join(CKPT_DIR, "NIR_RAMS", "ckpt-69.index")
