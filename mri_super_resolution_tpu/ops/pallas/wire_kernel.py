@@ -391,7 +391,8 @@ def make_wire_fused_apply(model, compute_dtype=None):
 
 
 @functools.lru_cache(maxsize=None)
-def make_wire_value_and_grad(model, compute_dtype=None, tile: int = TILE_BWD):
+def make_wire_value_and_grad(model, compute_dtype=None, tile: int = TILE_BWD,
+                             fast: bool = True):
     """One-pass (loss, grads) for the WIRE MSE fit (reference default
     trainable=False: omega/sigma gradients are zero)."""
     if model.trainable:
@@ -404,7 +405,8 @@ def make_wire_value_and_grad(model, compute_dtype=None, tile: int = TILE_BWD):
     def vag(params, x, target):
         ws, oms = wire_weights_from_flax(params, n_hidden)
         loss, dws = wire_loss_grads(
-            x, tuple(ws), oms, target, n_hidden, compute_dtype, tile=tile
+            x, tuple(ws), oms, target, n_hidden, compute_dtype, tile=tile,
+            fast=fast,
         )
         return loss, wire_grads_to_flax(dws, params, n_hidden)
 

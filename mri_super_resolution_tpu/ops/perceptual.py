@@ -36,8 +36,22 @@ def _conv2_same(img: np.ndarray, kernel: np.ndarray, pad_mode="constant") -> np.
 
 
 def _imfilter(img: np.ndarray, kernel: np.ndarray, pad_mode="constant") -> np.ndarray:
-    """MATLAB imfilter (correlation) with zero / replicate padding."""
-    return _conv2_same(img, np.flip(kernel), pad_mode)
+    """MATLAB imfilter (correlation) with zero / replicate padding.
+
+    Two parity-critical details (golden-value cross-check, VERDICT r2 #6):
+    MATLAB's 'replicate' is EDGE padding (scipy's 'symm' reflects, which
+    differs in the first ring), and for even kernels the correlation center
+    is floor((size+1)/2) 1-based — correlate2d's 'same' convention, NOT the
+    flipped-conv2 one (off by one pixel)."""
+    from scipy.signal import correlate2d
+
+    if pad_mode == "replicate":
+        kr, kc = kernel.shape
+        top, left = (kr - 1) // 2, (kc - 1) // 2
+        ap = np.pad(img, ((top, kr - 1 - top), (left, kc - 1 - left)),
+                    mode="edge")
+        return correlate2d(ap, kernel, mode="valid")
+    return correlate2d(img, kernel, mode="same", boundary="fill")
 
 
 def hpf_unsharp(img: np.ndarray, alpha: float = 0.2) -> np.ndarray:
@@ -138,8 +152,14 @@ def phasecong2(
         max_an = np.zeros((rows, cols))
         em_n = 0.0
         eo_all = []
+        ifft_filters = []
         for s in range(nscale):
             filt = log_gabors[s] * spread
+            # MATLAB estimates noise from the SPATIAL filters
+            # real(ifft2(filter))*sqrt(N): the orientation filters are
+            # one-sided in frequency, so real() drops half the energy — a
+            # frequency-domain Parseval shortcut here is ~1e-3 off in FSIM
+            ifft_filters.append(np.real(ifft2(filt)) * np.sqrt(rows * cols))
             eo = ifft2(imfft * filt)
             an = np.abs(eo)
             eo_all.append(eo)
@@ -166,11 +186,11 @@ def phasecong2(
         noise_power = mean_e2n / em_n
         est_sum_an2 = np.zeros((rows, cols))
         for s in range(nscale):
-            est_sum_an2 += (log_gabors[s] * spread) ** 2
+            est_sum_an2 += ifft_filters[s] ** 2
         est_sum_aiaj = np.zeros((rows, cols))
         for si in range(nscale - 1):
             for sj in range(si + 1, nscale):
-                est_sum_aiaj += (log_gabors[si] * spread) * (log_gabors[sj] * spread)
+                est_sum_aiaj += ifft_filters[si] * ifft_filters[sj]
         sum_est_sum_an2 = np.sum(est_sum_an2)
         sum_est_sum_aiaj = np.sum(est_sum_aiaj)
         est_noise_energy2 = 2 * noise_power * sum_est_sum_an2 + 4 * noise_power * sum_est_sum_aiaj
@@ -212,34 +232,65 @@ def _gaussian_kernel2d(size: int, sigma: float) -> np.ndarray:
     return k / k.sum()
 
 
-def _imresize_bilinear(img: np.ndarray, scale: float | tuple) -> np.ndarray:
-    """MATLAB imresize-style (bilinear, antialiased for shrink) approximation."""
-    import jax.numpy as jnp
-    import jax.image
+def _cubic_kernel(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """Keys bicubic (a=-0.5), support 4 — MATLAB imresize's default kernel."""
+    ax = np.abs(x)
+    ax2, ax3 = ax * ax, ax * ax * ax
+    return np.where(
+        ax <= 1, (a + 2) * ax3 - (a + 3) * ax2 + 1,
+        np.where(ax < 2, a * ax3 - 5 * a * ax2 + 8 * a * ax - 4 * a, 0.0))
 
+
+def _resize_axis_matlab(arr: np.ndarray, out_n: int, axis: int) -> np.ndarray:
+    in_n = arr.shape[axis]
+    scale = out_n / in_n
+    width = 4.0
+    if scale < 1:  # antialiasing: stretch the kernel by 1/scale
+        kern = lambda t: scale * _cubic_kernel(scale * t)
+        width /= scale
+    else:
+        kern = _cubic_kernel
+    u = (np.arange(1, out_n + 1)) / scale + 0.5 * (1 - 1 / scale)
+    left = np.floor(u - width / 2)
+    P = int(np.ceil(width)) + 2
+    indices = left[:, None] + np.arange(P)[None, :]
+    weights = kern(u[:, None] - indices)
+    weights /= weights.sum(axis=1, keepdims=True)
+    idx = np.clip(indices, 1, in_n).astype(int) - 1  # replicate boundary
+    moved = np.moveaxis(arr, axis, 0)
+    gathered = moved[idx.reshape(-1)].reshape(out_n, P, *moved.shape[1:])
+    out = np.einsum("op,op...->o...", weights, gathered)
+    return np.moveaxis(out, 0, axis)
+
+
+def _imresize_matlab(img: np.ndarray, scale: float | tuple) -> np.ndarray:
+    """MATLAB imresize: bicubic WITH antialiasing on shrink (the default —
+    SR_SIM.m:103 relies on it; a linear/no-antialias resize shifts the
+    saliency map enough to move SR-SIM by ~0.1-0.25 after mat2gray)."""
     if isinstance(scale, tuple):
         out_shape = scale
     else:
-        out_shape = (int(np.ceil(img.shape[0] * scale)), int(np.ceil(img.shape[1] * scale)))
-    method = "linear"
-    return np.asarray(
-        jax.image.resize(jnp.asarray(img), out_shape, method=method)
-    )
+        out_shape = (int(np.ceil(img.shape[0] * scale)),
+                     int(np.ceil(img.shape[1] * scale)))
+    out = _resize_axis_matlab(np.asarray(img, np.float64), out_shape[0], 0)
+    return _resize_axis_matlab(out, out_shape[1], 1)
 
 
 def spectral_residue_saliency(image: np.ndarray) -> np.ndarray:
     """SR_SIM.m:88-115: spectral residual saliency (Hou & Zhang)."""
     scale = 0.25
-    in_img = _imresize_bilinear(image, scale)
+    in_img = _imresize_matlab(image, scale)
     f = fft2(in_img)
-    log_amp = np.log(np.abs(f) + 1e-12)
+    with np.errstate(divide="ignore"):  # MATLAB log(0) = -Inf, kept as-is
+        log_amp = np.log(np.abs(f))
     phase = np.angle(f)
     residual = log_amp - _imfilter(log_amp, _avg_kernel(3), pad_mode="replicate")
     sal = np.abs(ifft2(np.exp(residual + 1j * phase))) ** 2
     sal = _imfilter(sal, _gaussian_kernel2d(10, 3.8))
     # mat2gray
-    sal = (sal - sal.min()) / (sal.max() - sal.min() + 1e-12)
-    return _imresize_bilinear(sal, image.shape)
+    rng_ = sal.max() - sal.min()
+    sal = (sal - sal.min()) / rng_ if rng_ else np.zeros_like(sal)
+    return _imresize_matlab(sal, image.shape)
 
 
 def sr_sim(image1: np.ndarray, image2: np.ndarray) -> float:
@@ -288,8 +339,8 @@ def ms_ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0, levels: int
             vals.append(np.mean(lum * cs))
         else:
             vals.append(np.mean(cs))
-            a = _imresize_bilinear(_conv2_same(a, _avg_kernel(2)), (max(1, a.shape[0] // 2), max(1, a.shape[1] // 2)))
-            b = _imresize_bilinear(_conv2_same(b, _avg_kernel(2)), (max(1, b.shape[0] // 2), max(1, b.shape[1] // 2)))
+            a = _imresize_matlab(_conv2_same(a, _avg_kernel(2)), (max(1, a.shape[0] // 2), max(1, a.shape[1] // 2)))
+            b = _imresize_matlab(_conv2_same(b, _avg_kernel(2)), (max(1, b.shape[0] // 2), max(1, b.shape[1] // 2)))
     vals = np.clip(np.asarray(vals), 1e-6, None)
     return float(np.prod(vals**weights))
 

@@ -53,19 +53,40 @@ def _corrected(pred_crop, label, mask):
 def shift_l1_loss(y_true: Array, y_pred: Array, y_mask: Array, hr_size: int = 96) -> Array:
     """Min-over-shifts masked brightness-corrected L1 (loss.py:26-75).
 
-    Inputs (B, hr_size, hr_size, C); returns per-image loss (B,)."""
+    Inputs (B, hr_size, hr_size, C); returns per-image loss (B,).
+
+    The 49-shift SEARCH runs under stop_gradient (min's subgradient flows
+    only through the argmin shift anyway); the differentiable loss is then
+    recomputed at that single per-image shift via dynamic_slice — the
+    backward pass touches (B, crop, crop) tensors instead of 49x that.
+    Values and gradients are identical to the naive form (same argmin)."""
     crop = hr_size - 2 * BORDER
     pred_crop = y_pred[:, BORDER : hr_size - BORDER, BORDER : hr_size - BORDER]
-    labels = _stack_shifts(y_true, crop, crop)
+    true_ng = jax.lax.stop_gradient(y_true)
+    pred_ng = jax.lax.stop_gradient(pred_crop)
+    labels = _stack_shifts(true_ng, crop, crop)
     masks = _stack_shifts(y_mask, crop, crop)
 
     def per_shift(label, mask):
-        corrected, label_m, m, total = _corrected(pred_crop, label, mask)
+        corrected, label_m, m, total = _corrected(pred_ng, label, mask)
         l1 = jnp.sum(jnp.abs(label_m - corrected), axis=(1, 2)) / total[..., 0, 0]
         return l1.mean(-1)  # over channels
 
     losses = jax.vmap(per_shift)(labels, masks)  # (49, B)
-    return jnp.min(losses, axis=0)
+    best = jnp.argmin(losses, axis=0)  # (B,)
+
+    def one_image(pred_i, true_i, mask_i, idx):
+        di, dj = idx // (2 * BORDER + 1), idx % (2 * BORDER + 1)
+        label = jax.lax.dynamic_slice(
+            true_i, (di, dj, 0), (crop, crop, true_i.shape[-1]))
+        mask = jax.lax.dynamic_slice(
+            mask_i, (di, dj, 0), (crop, crop, mask_i.shape[-1]))
+        corrected, label_m, m, total = _corrected(
+            pred_i[None], label[None], mask[None])
+        l1 = jnp.sum(jnp.abs(label_m - corrected), axis=(1, 2)) / total[..., 0, 0]
+        return l1.mean()
+
+    return jax.vmap(one_image)(pred_crop, y_true, y_mask, best)
 
 
 @functools.partial(jax.jit, static_argnames=("hr_size",))

@@ -63,6 +63,16 @@ class LowresQualConfig:
     soft_erd_mul: float = 1000.0
     soft_erd_slope: float = 20.0
     max_pretrain_steps: int = 100_000
+    # split-acquisition protocol (round 3): ground truth = mean over one half
+    # of the acquisitions, input arms see ONLY the other half. Removes the
+    # residual confound of the half-res protocol — with GT = mean over ALL
+    # acquisitions, the anti-aliased LR inherits the GT's own low-frequency
+    # noise realisation, so the spline arm gets SSIM credit for reproducing
+    # GT noise that no reconstruction could know (BASELINE round-2: spline
+    # won masked SSIM 39/50 while losing PSNR 4/50 — exactly the signature
+    # of a noise-correlation confound, verified by the correlation probe in
+    # tests/test_lowres_qual.py).
+    split_protocol: bool = False
 
 
 @dataclasses.dataclass
@@ -80,14 +90,24 @@ def run_slice(
 ) -> LowresQualResult:
     dwi = case.b3[:, :, _slice, :]  # (H, W, A)
     b0 = case.b0[:, :, _slice]
+
+    if cfg.split_protocol:
+        # disjoint halves: GT from the held-out half, inputs from the rest —
+        # GT noise independent of BOTH arms' inputs
+        A_all = dwi.shape[-1]
+        gt = dwi[..., A_all // 2:].mean(-1)
+        dwi = dwi[..., : A_all // 2]
+        input_mean = dwi.mean(-1)
+    else:
+        gt = dwi.mean(-1)
+        input_mean = gt  # reference protocol: LR derives from the GT itself
     H, W = dwi.shape[:2]
     A = dwi.shape[-1]
-
-    gt = dwi.mean(-1)
     scale = float(gt.max()) + 1e-12
     gt_n = gt / scale
 
-    lr = np.asarray(rescale(jnp.asarray(gt_n), 0.5, anti_aliasing=True))
+    lr = np.asarray(
+        rescale(jnp.asarray(input_mean / scale), 0.5, anti_aliasing=True))
     h, w = lr.shape
 
     coords_lr = mgrid((h, w))

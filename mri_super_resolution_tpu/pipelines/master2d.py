@@ -137,7 +137,7 @@ def fit_directions(
     # (64-wide hidden dims are zero-padded to the 128-lane width, exactly);
     # the ensemble-tail dense evaluations stay on apply_fn
     wvag = None
-    if (jax.devices()[0].platform == "tpu"
+    if (cfg.use_pallas and jax.devices()[0].platform == "tpu"
             and float(model.first_omega_0) == float(model.hidden_omega_0)):
         from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
             make_fused_weighted_value_and_grad)

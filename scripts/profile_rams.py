@@ -88,9 +88,16 @@ def main():
     total = 3 * fwd  # fwd + ~2x bwd
     print(f"wall: {wall*1e3:.2f} ms/step  ({B/wall:.0f} patches/s)")
     print(f"analytic conv FLOPs: fwd {fwd/1e9:.1f} G, train-step ~{total/1e9:.1f} G")
+    # Roofline framing: RAMS's reference architecture fixes filters=32, so
+    # every MXU pass uses 32 of 128 lanes (25%). The achievable ceiling for
+    # THIS architecture on one v5e chip is therefore ~49 TF/s bf16, not the
+    # 197 TF nameplate — and merging T into lanes doesn't help (the banded
+    # kernel becomes 3x denser: the two wastes cancel exactly).
+    lane_ceiling = 197e12 * 32 / 128
     print(f"achieved: {total/wall/1e12:.2f} TFLOP/s "
-          f"({100*total/wall/197e12:.1f}% of 197T bf16 peak, "
-          f"{100*total/wall/98e12:.1f}% of ~98T f32-via-bf16x1)")
+          f"({100*total/wall/197e12:.1f}% of 197T nameplate bf16, "
+          f"{100*total/wall/lane_ceiling:.1f}% of the {lane_ceiling/1e12:.0f}T "
+          f"filters=32 lane-constrained roofline)")
 
     if args.no_trace:
         return

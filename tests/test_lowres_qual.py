@@ -57,3 +57,56 @@ class TestLowresQual:
         assert lines[0].split(",")[2:] == [
             "ssim_spline", "ssim_sr", "psnr_spline", "psnr_sr"
         ]
+
+    def test_split_protocol_shapes(self, rng):
+        """Split protocol: inputs from half the acquisitions, GT from the
+        held-out half; pipeline runs end-to-end."""
+        case = _structured_case(rng)
+        cfg = lowres_qual.LowresQualConfig(
+            hidden_features=48, hidden_layers=2, loss_threshold=5e-4,
+            phase2_steps=3, max_pretrain_steps=8000, split_protocol=True,
+        )
+        res = lowres_qual.run_slice(case, case.cancer_slice, cfg, seed=0)
+        assert res.sr.shape == res.gt.shape
+        assert all(np.isfinite(m) for m in res.metrics)
+
+
+class TestNoiseCorrelationConfound:
+    """The mechanism behind round-2's spline-wins-SSIM result: in the
+    reference protocol LR derives from the GT itself, so the spline arm's
+    error is CORRELATED with the GT's own noise — SSIM credit no honest
+    reconstruction could earn. The split protocol removes it."""
+
+    def test_spline_error_correlates_with_gt_noise_only_in_shared_protocol(self, rng):
+        from mri_super_resolution_tpu.core.interp import rescale
+        import jax.numpy as jnp
+
+        H = W = 64
+        y, x = np.mgrid[0:H, 0:W] / H
+        clean = 0.5 + 0.3 * np.sin(4 * np.pi * x) * np.cos(3 * np.pi * y)
+        A = 8
+        noise = 0.03 * rng.normal(size=(H, W, A))
+        acqs = clean[..., None] + noise
+
+        def spline_arm(inp):
+            lr = np.asarray(rescale(jnp.asarray(inp), 0.5, anti_aliasing=True))
+            return np.asarray(rescale(jnp.asarray(lr), 2, anti_aliasing=True))
+
+        clean_path = spline_arm(clean)
+
+        def corr(protocol):
+            if protocol == "shared":
+                gt = acqs.mean(-1)
+                inp = gt
+            else:
+                gt = acqs[..., A // 2:].mean(-1)
+                inp = acqs[..., : A // 2].mean(-1)
+            spline = spline_arm(inp)
+            gt_noise = (gt - clean).ravel()
+            sp_noise = (spline - clean_path).ravel()
+            return float(np.corrcoef(gt_noise, sp_noise)[0, 1])
+
+        c_shared = corr("shared")
+        c_split = corr("split")
+        assert c_shared > 0.3, c_shared  # strong, protocol-induced
+        assert abs(c_split) < 0.1, c_split  # gone under the split protocol

@@ -79,7 +79,9 @@ class TestSRSIM:
         clean, _, _ = images
         sal = spectral_residue_saliency(clean)
         assert sal.shape == clean.shape
-        assert 0.0 <= sal.min() and sal.max() <= 1.0 + 1e-6
+        # bicubic upsampling back to full size overshoots slightly outside
+        # [0, 1] — MATLAB's imresize does the same and SR_SIM.m doesn't clamp
+        assert -0.1 <= sal.min() and sal.max() <= 1.0 + 0.1
 
 
 class TestMSSSIM:

@@ -96,6 +96,42 @@ class TestShiftMetrics:
         loss = float(shift_l1_loss(hr, biased, mask, hr_size=32)[0])
         assert loss < 1.0
 
+    def test_argmin_shift_grad_matches_full_min(self, rng):
+        """The argmin-shift fast path (search under stop_gradient, gradient
+        through one dynamic_slice) must match the naive min-over-49-branches
+        loss and gradient exactly."""
+        from mri_super_resolution_tpu.ops.shift_metrics import BORDER
+
+        hr, mask = self._data(rng, B=2)
+        mask = jnp.asarray(
+            (np.random.default_rng(3).random(mask.shape) > 0.1).astype(np.float32))
+        pred = jnp.asarray(
+            np.random.default_rng(4).uniform(0, 60000, hr.shape).astype(np.float32))
+
+        def naive(y_true, y_pred, y_mask, hr_size=32):
+            crop = hr_size - 2 * BORDER
+            p = y_pred[:, BORDER:hr_size - BORDER, BORDER:hr_size - BORDER]
+            ls = []
+            for i in range(2 * BORDER + 1):
+                for j in range(2 * BORDER + 1):
+                    lab = y_true[:, i:i + crop, j:j + crop]
+                    mk = y_mask[:, i:i + crop, j:j + crop]
+                    tot = jnp.sum(mk, axis=(1, 2), keepdims=True)
+                    b = jnp.sum((lab - p) * mk, axis=(1, 2), keepdims=True) / tot
+                    cor = (p * mk + b) * mk
+                    l1 = jnp.sum(jnp.abs(lab * mk - cor), axis=(1, 2)) / tot[..., 0, 0]
+                    ls.append(l1.mean(-1))
+            return jnp.min(jnp.stack(ls), axis=0)
+
+        v_fast = shift_l1_loss(hr, pred, mask, hr_size=32)
+        v_ref = naive(hr, pred, mask)
+        np.testing.assert_allclose(np.asarray(v_fast), np.asarray(v_ref),
+                                   rtol=1e-6)
+        g_fast = jax.grad(lambda p: shift_l1_loss(hr, p, mask, 32).mean())(pred)
+        g_ref = jax.grad(lambda p: naive(hr, p, mask).mean())(pred)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-12)
+
     def test_psnr_higher_for_better_pred(self, rng):
         hr, mask = self._data(rng, B=1)
         good = hr + 100.0 * jnp.asarray(np.random.default_rng(2).normal(size=hr.shape), dtype=jnp.float32)
