@@ -49,11 +49,11 @@ def depth_to_space(x: Array, block: int) -> Array:
     return x.reshape(B, H * block, W * block, c)
 
 
-def reflect_pad_hw(x: Array, pad: int = 1) -> Array:
-    """Reflective padding on the two leading spatial dims (network.py:37-39)."""
+def reflect_pad_hw(x: Array, pad: int = 1, axes: tuple = (1, 2)) -> Array:
+    """Reflective padding on the H, W dims (network.py:37-39)."""
     cfg = [(0, 0)] * x.ndim
-    cfg[1] = (pad, pad)
-    cfg[2] = (pad, pad)
+    for a in axes:
+        cfg[a] = (pad, pad)
     return jnp.pad(x, cfg, mode="reflect")
 
 
@@ -198,14 +198,28 @@ class RAMS(nn.Module):
     # activation compute dtype; bfloat16 halves the HBM traffic that
     # dominates the TPU step (params/accumulators/GAP/loss stay f32)
     compute_dtype: str = "float32"
+    # 5-D activation layout for the main path. "nhwtc" = (B, H, W, T, C),
+    # the straight transcription; "nthwc" = (B, T, H, W, C) keeps (W, C) as
+    # the minor dims, cutting XLA's (8, 128) tile padding from
+    # (16/9)x(128/32) = 7.1x to (40/34)x(128/32) = 4.7x on every elementwise
+    # pass. Math identical; param SHAPES identical (kernel spatial axes
+    # reinterpreted (H,W,T)->(T,H,W), so checkpoints are layout-specific).
+    layout: str = "nhwtc"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = normalize(x, self.mean, self.std).astype(self.compute_dtype)
         global_res = x  # (B, H, W, T)
 
-        x = x[..., None]  # (B, H, W, T, 1)
-        x = reflect_pad_hw(x)
+        if self.layout == "nthwc":
+            x = jnp.transpose(x, (0, 3, 1, 2))[..., None]  # (B, T, H, W, 1)
+            hw_axes = (2, 3)
+            t_axis = 1
+        else:
+            x = x[..., None]  # (B, H, W, T, 1)
+            hw_axes = (1, 2)
+            t_axis = 3
+        x = reflect_pad_hw(x, axes=hw_axes)
         k3 = (self.kernel_size,) * 3
         x = WNConv(self.filters, k3)(x)
         res = x
@@ -217,17 +231,17 @@ class RAMS(nn.Module):
         # temporal reduction: T -> T - 2*floor(T/3); spatial dims restored by
         # the reflect pad before each valid conv
         for _ in range(self.channels // 3):
-            x = reflect_pad_hw(x)
+            x = reflect_pad_hw(x, axes=hw_axes)
             x = RFAB(self.filters, self.kernel_size, self.r)(x)
             x = WNConv(self.filters, (3, 3, 3), padding="VALID")(x)
             x = nn.relu(x)
 
         x = WNConv(self.scale**2, (3, 3, 3), padding="VALID")(x)
-        x = x[..., 0, :]  # drop the exhausted temporal dim
+        x = jnp.squeeze(x, axis=t_axis)  # drop the exhausted temporal dim
         x = depth_to_space(x, self.scale)
 
         # global residual 2-D path on the raw T-channel image
-        g = reflect_pad_hw(global_res)
+        g = reflect_pad_hw(global_res)  # 2-D path stays (B, H, W, T)
         g = RTAB(self.channels, self.kernel_size, self.r)(g)
         g = WNConv(self.scale**2, (3, 3), padding="VALID")(g)
         g = depth_to_space(g, self.scale)

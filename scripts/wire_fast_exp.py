@@ -42,34 +42,42 @@ def main():
     params = model.init(key, coords)
     tx = optax.adam(5e-3)
 
+    import numpy as np
+
+    # Convergence comparison must be distributional: a 1e-7 per-step gradient
+    # difference compounds chaotically over 1000 Adam steps, so pointwise
+    # final-loss comparison of a single run measures chaos, not bias. We
+    # compare mean final loss across seeds.
+    seeds = list(range(5))
     out = {}
-    losses = {}
     for label, fast in (("builtin", False), ("fast", True)):
         vag = make_wire_value_and_grad(model, fast=fast)
 
-        def run():
+        def run_seed(seed):
+            p0 = model.init(jax.random.key(seed), coords)
             res = fit_simple(
-                model.apply, tx, jax.tree.map(jnp.copy, params), coords,
-                target, args.steps, value_and_grad_fn=vag,
+                model.apply, tx, p0, coords, target, args.steps,
+                value_and_grad_fn=vag,
             )
             return res.losses
 
+        def run():
+            return run_seed(0)
+
         sec = time_jitted(run, repeats=3, warmup=1)
-        ls = jax.device_get(run())
-        losses[label] = ls
+        finals = [float(jax.device_get(run_seed(s))[-1]) for s in seeds]
         vps = coords.shape[0] * args.steps / sec
         out[label] = {"ms_per_step": round(sec / args.steps * 1e3, 4),
                       "voxels_per_sec": round(vps, 1),
-                      "final_loss": float(ls[-1])}
+                      "final_loss_by_seed": finals,
+                      "final_loss_mean": float(np.mean(finals)),
+                      "final_loss_std": float(np.std(finals))}
         print(f"{label}: {out[label]}", flush=True)
-
-    import numpy as np
 
     out["speedup"] = round(
         out["fast"]["voxels_per_sec"] / out["builtin"]["voxels_per_sec"], 3)
-    out["max_rel_loss_gap_last_100"] = float(np.max(
-        np.abs(losses["fast"][-100:] - losses["builtin"][-100:])
-        / (np.abs(losses["builtin"][-100:]) + 1e-12)))
+    fm, bm = out["fast"]["final_loss_mean"], out["builtin"]["final_loss_mean"]
+    out["mean_final_loss_ratio_fast_over_builtin"] = round(fm / bm, 3)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)

@@ -96,6 +96,32 @@ class TestShiftMetrics:
         loss = float(shift_l1_loss(hr, biased, mask, hr_size=32)[0])
         assert loss < 1.0
 
+    def test_nthwc_layout_equivalent(self, rng):
+        """The (B,T,H,W,C) layout computes the same function as the
+        transcription layout once 3-D conv kernels' spatial axes are
+        permuted (H,W,T)->(T,H,W)."""
+        import jax.tree_util as jtu
+
+        from mri_super_resolution_tpu.models.rams import RAMS
+
+        x = jnp.asarray(
+            np.random.default_rng(1).uniform(7000, 8000, (2, 12, 12, 9))
+            .astype(np.float32))
+        m1 = RAMS(N=2)
+        m2 = RAMS(N=2, layout="nthwc")
+        p = m1.init(jax.random.key(0), x)
+
+        def conv_perm(path, leaf):
+            name = path[-1].key if hasattr(path[-1], "key") else ""
+            if name == "v" and leaf.ndim == 5:
+                return jnp.transpose(leaf, (2, 0, 1, 3, 4))
+            return leaf
+
+        p2 = {"params": jtu.tree_map_with_path(conv_perm, p["params"])}
+        y1, y2 = m1.apply(p, x), m2.apply(p2, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   atol=2e-3 * float(jnp.abs(y1).max()) / 1e3)
+
     def test_argmin_shift_grad_matches_full_min(self, rng):
         """The argmin-shift fast path (search under stop_gradient, gradient
         through one dynamic_slice) must match the naive min-over-49-branches
