@@ -83,6 +83,7 @@ class RAMSConfig:
     # at cPSNR parity — measured ±0.055 dB over a 5-epoch A/B on identical
     # data/seeds (results/round3_rams/dtype_parity.json)
     compute_dtype: str = "bfloat16"
+    layout: str = "nhwtc"  # "nthwc" cuts elementwise tile-padding 7.1x->4.7x
 
 
 @dataclasses.dataclass

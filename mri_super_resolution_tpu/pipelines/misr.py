@@ -35,6 +35,7 @@ def build_rams(cfg: RAMSConfig) -> RAMS:
         mean=cfg.mean,
         std=cfg.std,
         compute_dtype=cfg.compute_dtype,
+        layout=cfg.layout,
     )
 
 

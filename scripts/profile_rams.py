@@ -51,6 +51,7 @@ def main():
     ap.add_argument("--trace", default="/tmp/rams_trace")
     ap.add_argument("--no-trace", action="store_true")
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--layout", default="nhwtc")
     args = ap.parse_args()
 
     from mri_super_resolution_tpu.config import RAMSConfig, TrainerConfig
@@ -60,7 +61,8 @@ def main():
     cfg = TrainerConfig(batch_size=8, hr_size=96,
                         checkpoint_dir="/tmp/prof_rams_ckpt",
                         log_dir="/tmp/prof_rams_logs")
-    tr = Trainer(build_rams(RAMSConfig(compute_dtype=args.dtype)), cfg,
+    tr = Trainer(build_rams(RAMSConfig(compute_dtype=args.dtype,
+                                       layout=args.layout)), cfg,
                  name="prof")
     rng = np.random.default_rng(0)
     B = 8

@@ -96,6 +96,31 @@ class TestShiftMetrics:
         loss = float(shift_l1_loss(hr, biased, mask, hr_size=32)[0])
         assert loss < 1.0
 
+    def test_weight_norm_custom_vjp_matches_autodiff(self, rng):
+        """weight_norm_kernel's closed-form backward vs XLA autodiff of the
+        plain reparametrisation: values and both gradients must agree."""
+        from mri_super_resolution_tpu.models.rams import weight_norm_kernel
+
+        v = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 8)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+        co = jnp.asarray(rng.normal(size=v.shape).astype(np.float32))
+
+        def ref(v, g):
+            axes = tuple(range(v.ndim - 1))
+            n = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True) + 1e-12)
+            return g * v / n
+
+        np.testing.assert_allclose(
+            np.asarray(weight_norm_kernel(v, g)), np.asarray(ref(v, g)),
+            atol=1e-6)
+        g1 = jax.grad(lambda v, g: jnp.sum(weight_norm_kernel(v, g) * co),
+                      (0, 1))(v, g)
+        g2 = jax.grad(lambda v, g: jnp.sum(ref(v, g) * co), (0, 1))(v, g)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                                   atol=1e-5)
+
     def test_nthwc_layout_equivalent(self, rng):
         """The (B,T,H,W,C) layout computes the same function as the
         transcription layout once 3-D conv kernels' spatial axes are
