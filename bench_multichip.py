@@ -15,7 +15,7 @@ FLOPs, so wall-clock does not improve with N. The per-chip-scaling claim on
 real hardware rests on the program structure this validates: voxel-DP is one
 psum per step over ICI; cohort parallelism is collective-free.
 
-Writes results/round2_multichip/scaling.json and prints one table.
+Writes results/round3_multichip/scaling.json and prints one table.
 """
 from __future__ import annotations
 

@@ -42,6 +42,16 @@ def main(argv=None):
 
     cfg = RAMSConfig(filters=args.filters, N=args.N)
     model = misr.build_rams(cfg)
+    if args.ckpt is None:
+        # the committed pretrained artifact (this framework's analog of the
+        # reference's shipped RED_RAMS checkpoint, master.py:27) is the
+        # default at the reference architecture
+        default_params = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "artifacts", "rams_dwi_params")
+        if (args.filters, args.N) == (32, 12) and os.path.isdir(default_params):
+            args.ckpt = default_params
+            print(f"restoring committed pretrained params: {args.ckpt}")
     if args.ckpt:
         params = restore_pytree(os.path.abspath(args.ckpt))
         if isinstance(params, dict) and "params" in params and "step" in params:
