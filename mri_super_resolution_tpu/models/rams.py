@@ -248,3 +248,32 @@ class RAMS(nn.Module):
 
         out = x.astype(jnp.float32) + g.astype(jnp.float32)
         return denormalize(out, self.mean, self.std)
+
+
+def fold_weight_norm(params):
+    """Fold the weight-norm reparam into the kernels for inference.
+
+    Rewrites every WNConv's ``(v, g)`` so the *effective* kernel is already
+    ``w = g * v / ||v||``: setting ``v <- w`` and ``g <- ||w||`` (per output
+    channel) makes ``g * v / ||v||`` reproduce ``w`` exactly, so the param
+    TREE STRUCTURE is unchanged — the folded tree drops into the same
+    ``model.apply`` and the per-call norm reduction degenerates to a no-op
+    scale of 1. Use on restored checkpoints in serving paths (the reference
+    serves the raw reparam every call, training.py:98-102); do NOT train on a
+    folded tree (gradients w.r.t. v/g change meaning).
+    """
+
+    def fold(d):
+        if isinstance(d, dict):
+            if "v" in d and "g" in d:
+                w = weight_norm_kernel(jnp.asarray(d["v"], jnp.float32),
+                                       jnp.asarray(d["g"], jnp.float32))
+                w2 = w.reshape(-1, w.shape[-1])
+                out = dict(d)
+                out["v"] = w
+                out["g"] = jnp.sqrt(jnp.sum(w2 * w2, axis=0))
+                return out
+            return {k: fold(v) for k, v in d.items()}
+        return d
+
+    return fold(params.unfreeze() if hasattr(params, "unfreeze") else params)

@@ -18,7 +18,7 @@ from mri_super_resolution_tpu.config import RAMSConfig
 from mri_super_resolution_tpu.core.adc import adc_log_ratio
 from mri_super_resolution_tpu.core.interp import rescale
 from mri_super_resolution_tpu.data import Case, save_dicom
-from mri_super_resolution_tpu.models.rams import RAMS
+from mri_super_resolution_tpu.models.rams import RAMS, fold_weight_norm
 from mri_super_resolution_tpu.ops.tta import predict_tensor
 
 EPS = 1e-7
@@ -81,6 +81,10 @@ def run(
     seed: int = 0,
 ) -> None:
     model = build_rams(cfg)
+    # serving path: fold g*v/||v|| into the kernels once at restore instead
+    # of recomputing 34 norm reductions per predict call (exact — see
+    # fold_weight_norm)
+    params = fold_weight_norm(params)
     apply_fn = jax.jit(lambda x: model.apply(params, x))
     for case in cases:
         mean_pred, adc_large = predict_case(apply_fn, case, cfg, sample_size, seed)

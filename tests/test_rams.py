@@ -60,6 +60,26 @@ class TestRAMS:
         np.testing.assert_allclose(float(normalize(x)), 0.0, atol=1e-4)
         np.testing.assert_allclose(float(denormalize(normalize(x))), 7433.6436, rtol=1e-6)
 
+    def test_fold_weight_norm_exact(self):
+        """Folded params drop into the same apply and reproduce the output.
+
+        fold_weight_norm sets v <- w_eff, g <- ||w_eff||, so the serving
+        path's per-call norm degenerates to an exact no-op rescale."""
+        from mri_super_resolution_tpu.models.rams import fold_weight_norm
+
+        model = RAMS(**SMALL)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(7000, 8000, (1, 12, 12, 9)), dtype=jnp.float32)
+        params = model.init(jax.random.key(0), x)
+        folded = fold_weight_norm(params)
+        # structure unchanged
+        assert jax.tree_util.tree_structure(folded) == jax.tree_util.tree_structure(
+            params if isinstance(params, dict) else params.unfreeze()
+        )
+        ref = np.asarray(model.apply(params, x))
+        out = np.asarray(model.apply(folded, x))
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-2)
+
     def test_batch_independence(self):
         model = RAMS(**SMALL)
         rng = np.random.default_rng(1)
