@@ -149,7 +149,7 @@ def main():
         "cohort_weak_scaling": cohort_weak_scaling(devices),
     }
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "results", "round2_multichip")
+                           "results", "round3_multichip")
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "scaling.json"), "w") as f:
         json.dump(out, f, indent=1)

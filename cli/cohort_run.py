@@ -35,7 +35,7 @@ def main(argv=None):
     if args.distributed:
         from mri_super_resolution_tpu.parallel import init_distributed
 
-        multi = init_distributed()
+        multi = init_distributed(auto=True)
         import jax
 
         print(f"distributed: process {jax.process_index()}/"

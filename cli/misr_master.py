@@ -42,10 +42,11 @@ def main(argv=None):
 
     cfg = RAMSConfig(filters=args.filters, N=args.N)
     model = misr.build_rams(cfg)
-    if args.ckpt is None:
+    if args.ckpt is None and not args.allow_untrained:
         # the committed pretrained artifact (this framework's analog of the
         # reference's shipped RED_RAMS checkpoint, master.py:27) is the
-        # default at the reference architecture
+        # default at the reference architecture; --allow_untrained opts out
+        # so the fresh-init path stays reachable
         default_params = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "artifacts", "rams_dwi_params")

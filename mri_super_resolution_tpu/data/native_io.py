@@ -111,7 +111,11 @@ def _reassemble_cells(arrays: dict) -> dict:
     ``name#cell`` carries the cell dims; ``name#<i>`` are the cells in
     column-major order. Result: an object ndarray, indexable ``[b][te]``
     exactly like scipy's v5 load (superresHybrid.py:50-55)."""
-    markers = [k for k in arrays if k.endswith("#cell")]
+    # deepest-first: an inner cell ("x#0#cell") must be assembled into its
+    # "x#0" entry before the outer "x#cell" pops "x#0", or nested cells come
+    # back None
+    markers = sorted((k for k in arrays if k.endswith("#cell")),
+                     key=lambda k: k.count("#"), reverse=True)
     for marker in markers:
         name = marker[: -len("#cell")]
         dims = tuple(int(d) for d in arrays.pop(marker).reshape(-1))

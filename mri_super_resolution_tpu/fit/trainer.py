@@ -140,11 +140,10 @@ class Trainer:
             opt_state = tree["opt_state"]
         except (ValueError, KeyError):
             # checkpoint written before the optax.flatten migration (per-leaf
-            # adam state): keep the trained params, restart optimizer moments
-            tree = self.manager.restore(
-                {"params": template.params, "step": 0, "psnr": 0.0},
-                step=latest,
-            )
+            # adam state): keep the trained params, restart optimizer moments.
+            # Restore templateless — orbax rejects a template that omits the
+            # on-disk 'opt_state' subtree, so a partial template cannot work.
+            tree = self.manager.restore(step=latest)
             opt_state = template.opt_state
             print("checkpoint has pre-flatten optimizer state; params "
                   "restored, optimizer moments reset")

@@ -281,11 +281,19 @@ def spectral_residue_saliency(image: np.ndarray) -> np.ndarray:
     scale = 0.25
     in_img = _imresize_matlab(image, scale)
     f = fft2(in_img)
-    with np.errstate(divide="ignore"):  # MATLAB log(0) = -Inf, kept as-is
-        log_amp = np.log(np.abs(f))
+    # MATLAB's log(0) = -Inf poisons the whole map to NaN on images with
+    # exact FFT zeros (e.g. constant/blank-masked slices). Clamping at the
+    # smallest NORMAL double keeps log bit-identical for every nonzero bin
+    # (golden parity intact) while degenerate inputs stay finite — unlike
+    # the old +1e-12 additive guard, which shifted SR-SIM by up to ~9e-3.
+    log_amp = np.log(np.maximum(np.abs(f), np.finfo(np.float64).tiny))
     phase = np.angle(f)
     residual = log_amp - _imfilter(log_amp, _avg_kernel(3), pad_mode="replicate")
-    sal = np.abs(ifft2(np.exp(residual + 1j * phase))) ** 2
+    # cap the residual so exp()**2 can't overflow: a clamped-zero neighbor
+    # (-708) next to a live DC bin would otherwise push exp to ~1e300 and
+    # its square to inf/NaN. Real images have |residual| << 300, so this is
+    # bit-exact off the degenerate case.
+    sal = np.abs(ifft2(np.exp(np.minimum(residual, 300.0) + 1j * phase))) ** 2
     sal = _imfilter(sal, _gaussian_kernel2d(10, 3.8))
     # mat2gray
     rng_ = sal.max() - sal.min()

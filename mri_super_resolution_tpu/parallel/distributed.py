@@ -41,10 +41,14 @@ def init_distributed(
     num_processes: int | None = None,
     process_id: int | None = None,
     local_device_ids: Sequence[int] | None = None,
+    auto: bool = False,
 ) -> bool:
     """Initialize jax.distributed (idempotent). Args fall back to the
-    ``MRI_SR_*`` env vars, then to the runtime's automatic cluster detection
-    (TPU pod metadata / SLURM). Returns True when running multi-process."""
+    ``MRI_SR_*`` env vars; with ``auto=True`` and neither set, fall through
+    to the runtime's automatic cluster detection (TPU pod metadata / SLURM)
+    via a no-arg ``jax.distributed.initialize()`` — pass auto=True when the
+    user explicitly asked for multi-process (e.g. ``--distributed``).
+    Returns True when running multi-process."""
     global _initialized
     if _initialized:
         return jax.process_count() > 1
@@ -54,8 +58,21 @@ def init_distributed(
     if process_id is None and os.environ.get(ENV_PID):
         process_id = int(os.environ[ENV_PID])
     if coordinator_address is None and num_processes is None:
-        # single-process runs need no distributed runtime at all
-        return False
+        if not auto:
+            # single-process runs need no distributed runtime at all
+            return False
+        # explicit multi-process request with no explicit wiring: let the
+        # runtime auto-detect (TPU pod metadata / SLURM). Outside a managed
+        # cluster this raises — surface that as single-process with a note
+        # rather than crashing the run.
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # no cluster metadata available
+            print(f"init_distributed: auto-detect failed ({e}); "
+                  "running single-process")
+            return False
+        _initialized = True
+        return jax.process_count() > 1
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -91,17 +108,29 @@ def host_local_slice(n: int) -> slice:
 
 
 def make_global_batch(local: np.ndarray, mesh: Mesh,
-                      spec: P = P("data")) -> jax.Array:
+                      spec: P = P("data"),
+                      global_rows: int | None = None) -> jax.Array:
     """Assemble a GLOBAL jax.Array from per-process host shards.
 
     Each process passes only ITS slice of the batch (e.g. the cases selected
     by :func:`host_local_slice`); the result behaves like the full array
     under ``jit`` with the given sharding, with no cross-host host-side
-    gather. Single-process: equivalent to device_put with the sharding."""
+    gather. Single-process: equivalent to device_put with the sharding.
+
+    ``global_rows`` is REQUIRED whenever the leading axis does not divide
+    evenly across processes: jax infers the global shape by assuming uniform
+    per-process shards, so ragged host_local_slice shards (e.g. 7 cases on 2
+    processes -> 4 + 3 rows) would otherwise make the processes disagree on
+    the global shape. Pass the full pre-slice length."""
     sharding = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
         return jax.device_put(np.asarray(local), sharding)
-    return jax.make_array_from_process_local_data(sharding, np.asarray(local))
+    local = np.asarray(local)
+    global_shape = None
+    if global_rows is not None:
+        global_shape = (int(global_rows),) + tuple(local.shape[1:])
+    return jax.make_array_from_process_local_data(
+        sharding, local, global_shape=global_shape)
 
 
 # ---------------------------------------------------------------------------

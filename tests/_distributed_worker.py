@@ -47,8 +47,9 @@ def main():
     coords_all = np.asarray(mgrid((16, 16)))
     target_all = np.sin(3.0 * coords_all[:, :1]) * np.cos(2.0 * coords_all[:, 1:2])
     sl = host_local_slice(coords_all.shape[0])
-    coords = make_global_batch(coords_all[sl], mesh, P("data"))
-    target = make_global_batch(target_all[sl], mesh, P("data"))
+    n = coords_all.shape[0]
+    coords = make_global_batch(coords_all[sl], mesh, P("data"), global_rows=n)
+    target = make_global_batch(target_all[sl], mesh, P("data"), global_rows=n)
 
     # --- the production data-parallel fit over the cross-process mesh ------
     params = model.init(jax.random.key(0), jnp.asarray(coords_all[:4]))

@@ -133,6 +133,31 @@ def test_native_reads_master_cell_array(tmp_path, rng):
 
 
 @needs_native
+def test_native_reads_nested_cells(tmp_path, rng):
+    """Cell-of-cells: inner cells must reassemble BEFORE the outer cell pops
+    them (deepest-first marker order), or the outer entries come back None."""
+    from mri_super_resolution_tpu.data.native_io import load_mat_native
+
+    inner0 = np.empty((2,), dtype=object)
+    inner0[0] = rng.standard_normal((3, 2))
+    inner0[1] = rng.standard_normal((2, 2))
+    outer = np.empty((2,), dtype=object)
+    outer[0] = inner0
+    outer[1] = rng.standard_normal((4, 1))
+    path = str(tmp_path / "nested.mat")
+    save_mat(path, {"x": outer})
+    got = load_mat_native(path)
+    x = got["x"]
+    assert x.reshape(-1)[1] is not None
+    inner = x.reshape(-1)[0]
+    assert inner is not None, "nested cell came back None (ordering bug)"
+    np.testing.assert_allclose(np.asarray(inner.reshape(-1)[0]).squeeze(),
+                               inner0[0].squeeze())
+    np.testing.assert_allclose(np.asarray(x.reshape(-1)[1]).squeeze(),
+                               outer[1].squeeze())
+
+
+@needs_native
 def test_native_precise_error_on_struct(tmp_path, rng):
     """A struct variable must produce a named skip message, not a silent
     KeyError (VERDICT r2: 'first contact with real patient data will be the

@@ -84,6 +84,19 @@ class TestSRSIM:
         assert -0.1 <= sal.min() and sal.max() <= 1.0 + 0.1
 
 
+class TestSRSIMDegenerate:
+    def test_constant_image_stays_finite(self):
+        """A constant (blank-masked) slice has exact FFT zeros off-DC; the
+        log|F| clamp at the smallest normal double must keep the saliency
+        map and the score finite (MATLAB itself NaNs here — a documented
+        divergence on degenerate inputs only; nonzero bins are bit-exact)."""
+        flat = np.full((64, 64), 0.5)
+        sal = spectral_residue_saliency(flat)
+        assert np.isfinite(sal).all()
+        other = np.full((64, 64), 0.7) + 0.01 * np.eye(64)
+        assert np.isfinite(sr_sim(flat, other))
+
+
 class TestMSSSIM:
     def test_identity(self, images):
         clean, _, _ = images

@@ -39,6 +39,36 @@ class TestTrainer:
         st2 = tr2.init(x)
         assert st2.step == tr.manager.latest_step()
 
+    def test_restore_pre_flatten_opt_state_falls_back(self, tiny_model,
+                                                      tmp_path, rng):
+        """A checkpoint whose opt_state tree doesn't match the current
+        optimizer (e.g. written before the optax.flatten migration) must
+        restore params with reset moments, not crash: orbax rejects both a
+        mismatched template AND a template that omits the on-disk subtree,
+        so the fallback restores templateless."""
+        x, y, m = _tiny_data(rng, n=2)
+        cfg = TrainerConfig(
+            batch_size=2, epochs=1, hr_size=24,
+            checkpoint_dir=str(tmp_path / "ckpt3"),
+            log_dir=str(tmp_path / "logs"),
+        )
+        tr = Trainer(tiny_model, cfg)
+        tr.init(x)
+        tr.fit(x, (y, m))
+        step = tr.manager.latest_step()
+        # rewrite the checkpoint with an alien opt_state structure
+        tree = tr.manager.restore(step=step)
+        tree["opt_state"] = {"legacy_per_leaf_adam": np.zeros(3, np.float32)}
+        tr.manager.save(step + 1, tree, metric=1.0)
+
+        tr2 = Trainer(tiny_model, cfg)
+        st2 = tr2.init(x)  # must not raise
+        # restores the step VALUE stored in the (rewritten) latest tree
+        assert st2.step == step
+        import jax
+
+        assert len(jax.tree_util.tree_leaves(st2.params)) > 0
+
     def test_save_best_only_gates(self, tiny_model, tmp_path, rng):
         x, _, _ = _tiny_data(rng, n=2)
         cfg = TrainerConfig(
