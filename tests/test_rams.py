@@ -242,3 +242,26 @@ class TestTTA:
         assert ens.shape == direct.shape
         ens2 = geometric_ensemble_predict(fake_apply, x)
         np.testing.assert_array_equal(ens, ens2)
+
+    def test_geometric_ensemble_batched_matches_loop(self):
+        """Square inputs take the single-batched-call path; it must equal the
+        per-variant loop (the non-square fallback) exactly for a
+        batch-independent model."""
+        from mri_super_resolution_tpu.ops.tta import _flip, _rot
+
+        def fake_apply(x):
+            up = jnp.repeat(jnp.repeat(jnp.mean(x, -1, keepdims=True), 3, 1), 3, 2)
+            return up + 0.1 * jnp.flip(up, axis=1)
+
+        x = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 100, (2, 6, 6, 9)),
+            dtype=jnp.float32)
+        batched = geometric_ensemble_predict(fake_apply, x)
+        outs = []
+        for f in (0, 1):
+            for k in range(4):
+                xa = _rot(_flip(x, bool(f)), k)
+                sr = predict_tensor(fake_apply, xa)
+                outs.append(_flip(_rot(sr, (4 - k) % 4), bool(f)))
+        loop = np.mean([np.asarray(o) for o in outs], axis=0)
+        np.testing.assert_allclose(batched, loop, atol=1e-5)
