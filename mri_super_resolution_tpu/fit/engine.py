@@ -196,6 +196,27 @@ def fit_ensemble(
 # --------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=64)
+def plain_apply_init(model, ndim: int = 2):
+    """Identity-stable ``(apply_fn, init_fn)`` pair for perturb-style models
+    (``model.apply(p, coords, sample, eps)``) with the perturbation off.
+
+    ``fit_until`` hashes its static ``apply_fn``/``init_fn`` by object
+    identity: a fresh ``def init_fn`` closure or ``functools.partial`` per
+    call makes EVERY case/slice recompile the heaviest while_loop program in
+    the repo. This builder returns the same pair per (model, ndim), so a
+    cohort sweep compiles once. (flax Modules are frozen dataclasses —
+    hashable cache keys.)"""
+
+    def apply_fn(params, coords):
+        return model.apply(params, coords, sample=0.0, eps=0.0)
+
+    def init_fn(key):
+        return model.init(key, jnp.zeros((1, ndim)), 0.0, 0.0)
+
+    return apply_fn, init_fn
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("apply_fn", "tx", "init_fn", "loss_threshold", "max_steps",
@@ -398,6 +419,28 @@ def fit_alternating_pn(
 # --------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=256)
+def _grid_runner(apply_fn: Callable, use_fourier: bool, clamp_min):
+    """Identity-stable jitted grid evaluator.
+
+    params (and the Fourier matrix) are TRACED arguments, not closed-over
+    constants, so re-running with new params — the per-TE loop of
+    hybrid.fit_all_te, the per-patient loop of superres3d.run — reuses one
+    executable instead of recompiling (minutes apiece on tunnelled-compile
+    environments). Keyed on the apply callable: pass a stable one
+    (``model.apply`` — flax bound methods hash by (module, function) — or a
+    module-level function), not a fresh lambda/partial."""
+    from mri_super_resolution_tpu.core.coords import fourier_encode
+
+    @jax.jit
+    def run(params, B, c):
+        x = fourier_encode(c, B) if use_fourier else c
+        out = apply_fn(params, x)
+        return jnp.clip(out, clamp_min, None) if clamp_min is not None else out
+
+    return run
+
+
 def infer_grid(
     apply_fn: Callable,
     params: Params,
@@ -405,20 +448,34 @@ def infer_grid(
     encode: Callable[[Array], Array] | None = None,
     chunk: int = 262_144,
     clamp_min: float | None = None,
+    fourier_B: Array | None = None,
 ) -> Array:
     """Evaluate the INR on a dense grid in memory-bounded chunks.
 
     Dense upsample grids (2x/4x volumes, the 100^3 coronal grid of
     superresDWI.py:217-221) explode once Fourier-encoded; chunking keeps the
     peak footprint flat. Returns (P, out_features).
+
+    Pass the Fourier matrix via ``fourier_B`` (traced; one executable per
+    (model, chunk) across calls) rather than a fresh ``encode`` closure,
+    which forces a fresh jit + recompile per call.
     """
     P = coords.shape[0]
 
-    @jax.jit
-    def run(c):
-        x = encode(c) if encode is not None else c
-        out = apply_fn(params, x)
-        return jnp.clip(out, clamp_min, None) if clamp_min is not None else out
+    if encode is not None:
+        # legacy path: arbitrary encode closure -> per-call jit
+        @jax.jit
+        def run_legacy(c):
+            out = apply_fn(params, encode(c))
+            return (jnp.clip(out, clamp_min, None)
+                    if clamp_min is not None else out)
+
+        run = lambda c: run_legacy(c)
+    else:
+        use_fourier = fourier_B is not None
+        B = fourier_B if use_fourier else jnp.zeros((0,))
+        cached = _grid_runner(apply_fn, use_fourier, clamp_min)
+        run = lambda c: cached(params, B, c)
 
     if P <= chunk:
         return run(coords)

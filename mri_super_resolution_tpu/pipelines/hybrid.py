@@ -134,12 +134,14 @@ def fit_all_te(hybrid_raw, cfg: HybridConfig, seed: int = 0) -> HybridResult:
 
     test_shape = (sx * 2, sy * 2, S, 4)
     test_coords = mgrid(test_shape)
-    encode = lambda c: fourier_encode(c, B)
     recon_hybrid = np.zeros((sx * 2, sy * 2, S, 4, 4), dtype=np.float32)
     for te in range(4):
+        # fourier_B keeps all four TE inferences on ONE executable (an
+        # encode closure would recompile the grid program per TE)
         params_te = jax.tree_util.tree_map(lambda x: x[te], fitted)
         rec = np.asarray(
-            infer_grid(model.apply, params_te, test_coords, encode, clamp_min=0.0)
+            infer_grid(model.apply, params_te, test_coords, clamp_min=0.0,
+                       fourier_B=B)
         ).reshape(test_shape)
         for b in range(4):
             recon_hybrid[:, :, :, b, te] = rec[:, :, :, b] * maxes[b, te]

@@ -34,7 +34,7 @@ from mri_super_resolution_tpu.core.coords import mgrid
 from mri_super_resolution_tpu.core.metrics import cnr_snr_log10
 from mri_super_resolution_tpu.core.normalize import rayleigh_noise_std
 from mri_super_resolution_tpu.data import MetricsCSV, CNR_SNR_HEADER
-from mri_super_resolution_tpu.fit.engine import fit_until
+from mri_super_resolution_tpu.fit.engine import fit_until, plain_apply_init
 from mri_super_resolution_tpu.models import SirenERD
 from mri_super_resolution_tpu.ops.erd import soft_erd_mean, soft_erd_weights
 from mri_super_resolution_tpu.utils import save_pytree
@@ -78,6 +78,80 @@ class ERDResult:
     params: object
 
 
+@functools.lru_cache(maxsize=None)
+def _phase2_fn(model, eps: float, perturb_lr: float, net_lr: float):
+    """Cached (tx, jitted step) for the two-optimizer phase-2 fine-tune —
+    one compile per config; fresh @jax.jit closures would recompile per
+    case (minutes apiece on tunnelled-compile environments)."""
+    tx = optax.multi_transform(
+        {"perturb": optax.adam(perturb_lr), "net": optax.adam(net_lr)},
+        _label_params,
+    )
+
+    @jax.jit
+    def phase2_step(params, opt_state, coords, acq_ids, acq_targets,
+                    acq_weights):
+        def loss_fn(p):
+            def per_acq(i, t, w):
+                out = model.apply(p, coords, sample=i, eps=eps)
+                return jnp.mean(w * (out - t) ** 2)
+
+            return jnp.sum(jax.vmap(per_acq)(acq_ids, acq_targets, acq_weights))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return tx, phase2_step
+
+
+@functools.lru_cache(maxsize=None)
+def _finetune_scan_fn(model, steps: int, eps: float, perturb_lr: float,
+                      net_lr: float):
+    """Cached jitted scan version of the phase-2 fine-tune (whole loop in
+    one executable; used by the lowres-qual and qual-study pipelines)."""
+    tx = optax.multi_transform(
+        {"perturb": optax.adam(perturb_lr), "net": optax.adam(net_lr)},
+        _label_params,
+    )
+
+    @jax.jit
+    def fine_tune(params, coords, acq_ids, acq_targets, acq_weights):
+        opt_state = tx.init(params)
+
+        def step(carry, _):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                def per_acq(i, t, w):
+                    out = model.apply(p, coords, sample=i, eps=eps)
+                    return jnp.mean(w * (out - t) ** 2)
+
+                return jnp.sum(jax.vmap(per_acq)(acq_ids, acq_targets, acq_weights))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, _), losses = jax.lax.scan(
+            step, (params, opt_state), None, length=steps)
+        return params, losses
+
+    return fine_tune
+
+
+@functools.lru_cache(maxsize=None)
+def _recon_mean_fn(model, eps: float):
+    @jax.jit
+    def recon(params, coords, acq_ids):
+        def one(i):
+            return model.apply(params, coords, sample=i, eps=eps)
+
+        return jax.vmap(one)(acq_ids).mean(0)
+
+    return recon
+
+
 def run_case(
     case: ERDCase,
     cfg: INRERDConfig,
@@ -116,17 +190,16 @@ def run_case(
         perturb=True,
     )
 
-    def init_fn(key):
-        return model.init(key, coords, 0.0, 0.0)
-
     # phase 1: trunk-only training (perturb off via eps=0, sample=0);
     # on TPU the one-pass fused kernel also carries the collapse signal
-    # (~5x faster per step than the XLA autodiff path at this config)
+    # (~5x faster per step than the XLA autodiff path at this config).
+    # plain_apply_init returns identity-stable callables so fit_until's jit
+    # cache hits across cases instead of recompiling per call.
     from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
         tpu_value_grad_absmax)
 
     vag_absmax = tpu_value_grad_absmax(model)
-    apply_plain = functools.partial(model.apply, sample=0.0, eps=0.0)
+    apply_plain, init_fn = plain_apply_init(model)
     params, steps, loss = fit_until(
         apply_plain,
         cached_adam(cfg.pretrain_lr),
@@ -150,38 +223,17 @@ def run_case(
     acq_weights = jnp.asarray(np.moveaxis(weights, -1, 0).reshape(A, -1, 1))
     acq_ids = jnp.arange(A, dtype=jnp.float32)
 
-    labels = _label_params(params)
-    tx = optax.multi_transform(
-        {"perturb": optax.adam(cfg.perturb_lr), "net": optax.adam(cfg.net_lr)},
-        labels,
-    )
+    tx, phase2_step = _phase2_fn(
+        model, float(cfg.perturb_eps), float(cfg.perturb_lr), float(cfg.net_lr))
     opt_state = tx.init(params)
-
-    @jax.jit
-    def phase2_step(params, opt_state):
-        def loss_fn(p):
-            def per_acq(i, t, w):
-                out = model.apply(p, coords, sample=i, eps=cfg.perturb_eps)
-                return jnp.mean(w * (out - t) ** 2)
-
-            return jnp.sum(jax.vmap(per_acq)(acq_ids, acq_targets, acq_weights))
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
-
     for _ in range(phase2_steps):
-        params, opt_state, _ = phase2_step(params, opt_state)
+        params, opt_state, _ = phase2_step(
+            params, opt_state, coords, acq_ids, acq_targets, acq_weights)
 
     # mean reconstruction over acquisitions (INR_ERD.py:276-282)
-    @jax.jit
-    def recon_all():
-        def one(i):
-            return model.apply(params, coords, sample=i, eps=cfg.perturb_eps)
-
-        return jax.vmap(one)(acq_ids).mean(0)
-
-    mean_recon = np.asarray(recon_all()).reshape(H, W)
+    mean_recon = np.asarray(
+        _recon_mean_fn(model, float(cfg.perturb_eps))(params, coords, acq_ids)
+    ).reshape(H, W)
     mean_orig = dwi.mean(-1)
 
     adc_in = np.asarray(adc_log_ratio(jnp.asarray(mean_orig), jnp.asarray(b0), b))

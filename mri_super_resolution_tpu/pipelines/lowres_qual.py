@@ -39,13 +39,24 @@ from mri_super_resolution_tpu.core.interp import rescale
 from mri_super_resolution_tpu.core.metrics import masked_ssim_protocol, psnr
 from mri_super_resolution_tpu.core.normalize import rayleigh_noise_std
 from mri_super_resolution_tpu.data import MetricsCSV
-from mri_super_resolution_tpu.fit.engine import fit_until
+from mri_super_resolution_tpu.fit.engine import fit_until, plain_apply_init
 from mri_super_resolution_tpu.models import SirenERD
 from mri_super_resolution_tpu.ops.erd import soft_erd_weights
-from mri_super_resolution_tpu.pipelines.inr_erd import ERDCase, _label_params
+from mri_super_resolution_tpu.pipelines.inr_erd import (
+    ERDCase, _finetune_scan_fn, _recon_mean_fn)
 from mri_super_resolution_tpu.fit.optim import cached_adam
 
 Array = jax.Array
+
+@jax.jit
+def _metric_table(gt_im, sp_im, sr_im):
+    return (
+        masked_ssim_protocol(gt_im, sp_im),
+        masked_ssim_protocol(gt_im, sr_im),
+        psnr(gt_im, sp_im, data_range=1.0),
+        psnr(gt_im, sr_im, data_range=1.0),
+    )
+
 
 LOWRES_QUAL_HEADER = ("pt_id", "slice", "ssim_spline", "ssim_sr", "psnr_spline", "psnr_sr")
 
@@ -124,11 +135,10 @@ def run_slice(
         perturb=True,
     )
 
-    def init_fn(key):
-        return model.init(key, coords_lr, 0.0, 0.0)
-
-    # phase 1 (cell 7): trunk-only fit to the LR mean, restart-on-collapse
-    apply_plain = functools.partial(model.apply, sample=0.0, eps=0.0)
+    # phase 1 (cell 7): trunk-only fit to the LR mean, restart-on-collapse.
+    # plain_apply_init keeps fit_until's static args identity-stable so a
+    # case x slice sweep compiles the while_loop once, not per call.
+    apply_plain, init_fn = plain_apply_init(model)
     from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
         tpu_value_grad_absmax)
 
@@ -164,63 +174,22 @@ def run_slice(
     acq_weights = jnp.asarray(np.moveaxis(weights, -1, 0).reshape(A, -1, 1))
     acq_ids = jnp.arange(A, dtype=jnp.float32)
 
-    labels = _label_params(params)
-    tx = optax.multi_transform(
-        {"perturb": optax.adam(cfg.perturb_lr), "net": optax.adam(cfg.net_lr)},
-        labels,
-    )
-
-    # phase 2 (cell 12): the whole 500-step loop scanned inside one jit
-    @jax.jit
-    def phase2(params):
-        opt_state = tx.init(params)
-
-        def step(carry, _):
-            params, opt_state = carry
-
-            def loss_fn(p):
-                def per_acq(i, t, w_):
-                    out = model.apply(p, coords_lr, sample=i, eps=cfg.perturb_eps)
-                    return jnp.mean(w_ * (out - t) ** 2)
-
-                return jnp.sum(jax.vmap(per_acq)(acq_ids, acq_targets, acq_weights))
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state)
-            return (optax.apply_updates(params, updates), opt_state), loss
-
-        (params, _), losses = jax.lax.scan(
-            step, (params, opt_state), None, length=cfg.phase2_steps
-        )
-        return params, losses
-
-    params, _ = phase2(params)
+    # phase 2 (cell 12): the whole loop scanned inside ONE cached executable
+    phase2 = _finetune_scan_fn(model, int(cfg.phase2_steps),
+                               float(cfg.perturb_eps),
+                               float(cfg.perturb_lr), float(cfg.net_lr))
+    params, _ = phase2(params, coords_lr, acq_ids, acq_targets, acq_weights)
 
     # SR inference (cell 13): acquisition-mean on the full-res grid
     coords_hr = mgrid((H, W))
-
-    @jax.jit
-    def recon_mean(params):
-        def one(i):
-            return model.apply(params, coords_hr, sample=i, eps=cfg.perturb_eps)
-
-        return jax.vmap(one)(acq_ids).mean(0)
-
-    sr = np.asarray(recon_mean(params)).reshape(H, W)
+    sr = np.asarray(
+        _recon_mean_fn(model, float(cfg.perturb_eps))(params, coords_hr, acq_ids)
+    ).reshape(H, W)
     spline = np.asarray(rescale(jnp.asarray(lr), 2, anti_aliasing=True))
-
-    @jax.jit
-    def metric_table(gt_im, sp_im, sr_im):
-        return (
-            masked_ssim_protocol(gt_im, sp_im),
-            masked_ssim_protocol(gt_im, sr_im),
-            psnr(gt_im, sp_im, data_range=1.0),
-            psnr(gt_im, sr_im, data_range=1.0),
-        )
 
     m = tuple(
         float(x)
-        for x in metric_table(jnp.asarray(gt_n), jnp.asarray(spline), jnp.asarray(sr))
+        for x in _metric_table(jnp.asarray(gt_n), jnp.asarray(spline), jnp.asarray(sr))
     )
     return LowresQualResult(
         gt=gt_n, lr=lr, spline=spline, sr=sr, metrics=m, pretrain_steps=int(steps)

@@ -21,8 +21,6 @@ from mri_super_resolution_tpu.data import Case, save_dicom
 from mri_super_resolution_tpu.models.rams import RAMS, fold_weight_norm
 from mri_super_resolution_tpu.ops.tta import predict_tensor
 
-EPS = 1e-7
-
 
 def build_rams(cfg: RAMSConfig) -> RAMS:
     return RAMS(

@@ -32,13 +32,14 @@ from mri_super_resolution_tpu.config import INRERDConfig
 from mri_super_resolution_tpu.core.adc import adc_log_ratio
 from mri_super_resolution_tpu.core.coords import mgrid
 from mri_super_resolution_tpu.core.interp import rescale
-from mri_super_resolution_tpu.core.normalize import rayleigh_noise_std, to_tensor_normalize
+from mri_super_resolution_tpu.core.normalize import rayleigh_noise_std
 from mri_super_resolution_tpu.data import MetricsCSV
-from mri_super_resolution_tpu.fit.engine import fit_until
+from mri_super_resolution_tpu.fit.engine import fit_until, plain_apply_init
 from mri_super_resolution_tpu.models import SirenERD
 from mri_super_resolution_tpu.ops.erd import soft_erd_weights
 from mri_super_resolution_tpu.ops.perceptual import score_panel
-from mri_super_resolution_tpu.pipelines.inr_erd import ERDCase, _label_params
+from mri_super_resolution_tpu.pipelines.inr_erd import (
+    ERDCase, _finetune_scan_fn, _label_params, _recon_mean_fn)
 from mri_super_resolution_tpu.fit.optim import cached_adam
 
 ARMS = ("low", "interpolated", "SR", "base")
@@ -75,16 +76,18 @@ def build_panel(
     b0_low = np.asarray(rescale(jnp.asarray(b0), 0.5, anti_aliasing=True))
 
     coords = mgrid((h, h))
-    target = jnp.asarray(to_tensor_normalize(img_low).reshape(-1, 1))
+    # [0, 1]-space target, NOT Normalize(0.5, 0.5): the SirenERD output head
+    # is ReLU'd, so on unit-scale volumes the normalized ~-1 background is
+    # unrepresentable — the loss<2e-5 while-loop would burn max_steps and the
+    # SR arm's background would render mid-gray, unblinding the panels (same
+    # deviation as inr_erd.py / lowres_qual.py, documented there).
+    target = jnp.asarray(img_low.reshape(-1, 1))
     model = SirenERD(
         hidden_features=cfg.hidden_features, hidden_layers=cfg.hidden_layers,
         perturb=True,
     )
 
-    def init_fn(key):
-        return model.init(key, coords, 0.0, 0.0)
-
-    apply_plain = functools.partial(model.apply, sample=0.0, eps=0.0)
+    apply_plain, init_fn = plain_apply_init(model)
     from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
         tpu_value_grad_absmax)
 
@@ -96,9 +99,10 @@ def build_panel(
     )
 
     # soft-ERD weights on half-res acquisitions (prepare_qual_images.py:205-219)
+    # — noise ROI from the slice being processed, like lowres_qual.run_slice
     nx, ny = case.noise
     noise_level = rayleigh_noise_std(
-        jnp.asarray(case.b3[nx - 3 : nx + 2, ny - 3 : ny + 2, case.cancer_slice])
+        jnp.asarray(case.b3[nx - 3 : nx + 2, ny - 3 : ny + 2, _slice])
     )
     low_acqs = np.stack(
         [np.asarray(rescale(jnp.asarray(dwi[..., i]), 0.5, anti_aliasing=True)) for i in range(A)],
@@ -109,51 +113,19 @@ def build_panel(
                          mul=cfg.soft_erd_mul, slope=cfg.soft_erd_slope)
     )
 
-    acq_targets = jnp.asarray(to_tensor_normalize(np.moveaxis(low_acqs, -1, 0)).reshape(A, -1, 1))
+    acq_targets = jnp.asarray(np.moveaxis(low_acqs, -1, 0).reshape(A, -1, 1))
     acq_weights = jnp.asarray(np.moveaxis(weights, -1, 0).reshape(A, -1, 1))
     acq_ids = jnp.arange(A, dtype=jnp.float32)
 
-    labels = _label_params(params)
-    tx = optax.multi_transform(
-        {"perturb": optax.adam(1e-5), "net": optax.adam(1e-7)}, labels
-    )
-
-    @jax.jit
-    def fine_tune(params):
-        opt_state = tx.init(params)
-
-        def step(carry, _):
-            params, opt_state = carry
-
-            def loss_fn(p):
-                def per_acq(i, t, w):
-                    out = model.apply(p, coords, sample=i, eps=cfg.perturb_eps)
-                    return jnp.mean(w * (out - t) ** 2)
-
-                return jnp.sum(jax.vmap(per_acq)(acq_ids, acq_targets, acq_weights))
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state)
-            return (optax.apply_updates(params, updates), opt_state), loss
-
-        (params, _), losses = jax.lax.scan(step, (params, opt_state), None, length=fine_tune_steps)
-        return params, losses
-
-    params, _ = fine_tune(params)
+    fine_tune = _finetune_scan_fn(model, fine_tune_steps,
+                                  float(cfg.perturb_eps), 1e-5, 1e-7)
+    params, _ = fine_tune(params, coords, acq_ids, acq_targets, acq_weights)
 
     # full-res reconstruction, perturb-averaged (prepare_qual_images.py:268-275)
     big_coords = mgrid((H, H))
-
-    @jax.jit
-    def recon_big(params):
-        def one(i):
-            return model.apply(params, big_coords, sample=i, eps=cfg.perturb_eps)
-
-        out = jax.vmap(one)(acq_ids).mean(0)
-        return out
-
-    sr_norm = np.asarray(recon_big(params)).reshape(H, H)
-    sr = sr_norm * 0.5 + 0.5  # undo Normalize(0.5, 0.5)
+    recon_big = _recon_mean_fn(model, float(cfg.perturb_eps))
+    sr = np.asarray(
+        recon_big(params, big_coords, acq_ids)).reshape(H, H)
 
     interpolated = np.asarray(rescale(jnp.asarray(img_low), 2, anti_aliasing=True))
     b0_up = np.asarray(rescale(jnp.asarray(b0_low), 2, anti_aliasing=True))
@@ -191,7 +163,6 @@ def save_panel(panel: QualPanel, path: str, roi=(35, 95)) -> dict:
     row = {}
     for col, arm in enumerate(panel.order):
         img, adc = arm_imgs[arm]
-        scale = img.shape[0] // 128 + (img.shape[0] % 128 > 0)
         crop = (slice(r0 // 2, r1 // 2) if img.shape[0] < 128 else slice(r0, r1))
         axes[0][col].imshow(img, cmap="gray")
         axes[1][col].imshow(adc[crop, crop], cmap="gray", vmin=0, vmax=3)
@@ -238,8 +209,6 @@ def score_panels(panels: dict[int, QualPanel], out_csv: str) -> str:
     analysis with the MATLAB metrics replaced by ops/perceptual."""
     first = True
     for counter, panel in sorted(panels.items()):
-        H = panel.base.shape[0]
-        up_low = np.asarray(rescale(jnp.asarray(panel.low), 2, anti_aliasing=True))
         scores = score_panel(
             HR=panel.base * 255.0 / (panel.base.max() + 1e-7),
             interp=panel.interpolated * 255.0 / (panel.base.max() + 1e-7),

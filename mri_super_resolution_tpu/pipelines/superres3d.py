@@ -153,12 +153,15 @@ def run_patient(
     # dense-grid inference (superresDWI.py:161-162)
     hr_shape = hr_mean.shape
     test_shape = (hr_shape[0] * 2, hr_shape[1] * 2, hr_shape[2], hr_shape[3])
-    encode = lambda c: fourier_encode(c, B)
+    # fourier_B (traced) instead of an encode closure: one executable per
+    # (model, grid shape) reused across patients instead of a fresh compile
     recon = np.asarray(
-        infer_grid(inr_apply, res.inr_params, mgrid(test_shape), encode, clamp_min=0.0)
+        infer_grid(inr_apply, res.inr_params, mgrid(test_shape),
+                   clamp_min=0.0, fourier_B=B)
     ).reshape(test_shape)
     sr_hr = np.asarray(
-        infer_grid(inr_apply, res.inr_params, mgrid(hr_shape), encode, clamp_min=0.0)
+        infer_grid(inr_apply, res.inr_params, mgrid(hr_shape),
+                   clamp_min=0.0, fourier_B=B)
     ).reshape(hr_shape)
 
     # SSIM protocol (superresDWI.py:179-187) — the whole (slice x b) table is
@@ -219,7 +222,6 @@ def adc_maps(result: SR3DResult, cfg: SupperresDWIConfig, _slice: int):
     the polyfit ADC, as the reference does.
     """
     r0, r1 = cfg.roi_start, cfg.roi_end
-    ts = result.recon_2x.shape
     scale_b = result.maxes[:, cfg.te_index]
 
     recon_rescaled = result.recon_2x[:, :, _slice, :] * scale_b
@@ -261,8 +263,8 @@ def coronal_recon(
     (2sx, 2sy, transverse_length, 1) grid for through-plane super-resolution."""
     ts = result.recon_2x.shape
     coronal_shape = (ts[0], ts[1], transverse_length, 1)
-    encode = lambda c: fourier_encode(c, jnp.asarray(result.B))
-    rec = infer_grid(inr_apply, result.inr_params, mgrid(coronal_shape), encode)
+    rec = infer_grid(inr_apply, result.inr_params, mgrid(coronal_shape),
+                     fourier_B=jnp.asarray(result.B))
     return np.asarray(rec).reshape(coronal_shape)
 
 
@@ -313,7 +315,6 @@ def run(
     ssim_scores.csv per patient like superresDWI.py main(). With
     ``export_npz`` additionally writes the forbagci-style triplet archive."""
     os.makedirs(out_dir, exist_ok=True)
-    inr = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
     results = []
     for pt_id, hybrid_raw, bvalues in patients:
         pdir = os.path.join(out_dir, f"pat{pt_id}")

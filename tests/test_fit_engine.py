@@ -173,3 +173,65 @@ class TestCachedAdam:
         a = make_fused_value_and_grad(Siren(hidden_features=128, hidden_layers=2))
         b = make_fused_value_and_grad(Siren(hidden_features=128, hidden_layers=2))
         assert a is b
+
+
+class TestPlainApplyInit:
+    def test_identity_stable_across_equal_models(self):
+        """plain_apply_init must return the SAME (apply, init) pair for equal
+        models: fit_until hashes its static apply_fn/init_fn by identity, so
+        fresh closures per case would recompile the heaviest while_loop
+        program per case."""
+        from mri_super_resolution_tpu.fit.engine import plain_apply_init
+
+        a = plain_apply_init(SirenERD(hidden_features=32, hidden_layers=1, perturb=True))
+        b = plain_apply_init(SirenERD(hidden_features=32, hidden_layers=1, perturb=True))
+        assert a[0] is b[0] and a[1] is b[1]
+        c = plain_apply_init(SirenERD(hidden_features=64, hidden_layers=1, perturb=True))
+        assert a[0] is not c[0]
+
+    def test_matches_direct_apply(self):
+        from mri_super_resolution_tpu.fit.engine import plain_apply_init
+
+        model = SirenERD(hidden_features=16, hidden_layers=1, perturb=True)
+        apply_fn, init_fn = plain_apply_init(model)
+        coords = mgrid((6, 6))
+        params = init_fn(jax.random.key(0))
+        direct = model.apply(params, coords, sample=0.0, eps=0.0)
+        np.testing.assert_allclose(
+            np.asarray(apply_fn(params, coords)), np.asarray(direct), atol=0)
+
+    def test_init_matches_model_init(self):
+        from mri_super_resolution_tpu.fit.engine import plain_apply_init
+
+        model = SirenERD(hidden_features=16, hidden_layers=1, perturb=True)
+        _, init_fn = plain_apply_init(model)
+        a = init_fn(jax.random.key(7))
+        b = model.init(jax.random.key(7), jnp.zeros((1, 2)), 0.0, 0.0)
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+            a, b)
+
+
+class TestInferGridFourierB:
+    def test_fourier_b_matches_encode_closure(self):
+        """The traced fourier_B path must agree numerically with the legacy
+        per-call encode closure while reusing ONE executable across calls."""
+        model = Siren(hidden_features=16, hidden_layers=1)
+        B = fourier_matrix(jax.random.key(1), 4, 2, scale=1.0)
+        coords = mgrid((10, 10))
+        params = model.init(jax.random.key(0), fourier_encode(coords, B))
+        legacy = infer_grid(model.apply, params, coords,
+                            encode=lambda c: fourier_encode(c, B))
+        cached = infer_grid(model.apply, params, coords, fourier_B=B)
+        np.testing.assert_allclose(
+            np.asarray(legacy), np.asarray(cached), atol=1e-6)
+
+    def test_grid_runner_identity_stable(self):
+        from mri_super_resolution_tpu.fit.engine import _grid_runner
+
+        model = Siren(hidden_features=16, hidden_layers=1)
+        a = _grid_runner(model.apply, False, None)
+        b = _grid_runner(model.apply, False, None)
+        assert a is b
+        c = _grid_runner(model.apply, False, 0.0)
+        assert a is not c
