@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Export the best save-best checkpoint in artifacts/rams_dwi to
+artifacts/rams_dwi_params, re-verify by restore+eval on the held-out split,
+and refresh anchor.json.
+
+Used when a continuation run (scripts/rams_continue.py) is interrupted after
+the save-best checkpoint landed but before its export step ran.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "cli"))
+    from train_misr import build_dataset
+
+    from mri_super_resolution_tpu.config import RAMSConfig, TrainerConfig
+    from mri_super_resolution_tpu.fit.trainer import Trainer, TrainState
+    from mri_super_resolution_tpu.pipelines.misr import build_rams
+    from mri_super_resolution_tpu.utils import save_pytree
+
+    X, Y, M = build_dataset(seed=0, patches_per_slice=8)
+    n_val = max(8, len(X) // 10)
+    Xv, Yv, Mv = X[:n_val], Y[:n_val], M[:n_val]
+
+    ckpt_dir = os.path.join(repo, "artifacts", "rams_dwi")
+    params_dir = os.path.join(repo, "artifacts", "rams_dwi_params")
+    cfg = TrainerConfig(
+        batch_size=8, hr_size=Yv.shape[1], checkpoint_dir=ckpt_dir,
+        save_best_only=True,
+    )
+    tr = Trainer(build_rams(RAMSConfig()), cfg, name="export")
+    st = tr.init(Xv, seed=0)
+
+    latest = tr.manager.latest_step()
+    tree = tr.manager.restore(
+        {"params": st.params, "opt_state": st.opt_state,
+         "step": 0, "psnr": 0.0}, step=latest)
+    print(f"restored checkpoint step {tree['step']} "
+          f"(recorded psnr {tree['psnr']:.4f} dB)", flush=True)
+
+    tr.state = TrainState(tree["params"], st.opt_state, int(tree["step"]))
+    val = float(tr.evaluate(Xv, Yv, Mv))
+    print(f"restore+eval on held-out split: {val:.4f} dB", flush=True)
+
+    save_pytree(params_dir, tree["params"])
+    print(f"exported params to {params_dir}", flush=True)
+    print(json.dumps({"step": int(tree["step"]), "val_cpsnr": val}))
+
+
+if __name__ == "__main__":
+    main()
