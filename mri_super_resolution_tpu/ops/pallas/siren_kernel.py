@@ -24,7 +24,7 @@ round-1 fwd+bwd kernels 10.4 ms/step -> one-pass kernel 6.4 ms -> one-pass +
 fast sincos 2.6 ms (26.6M voxels/s/chip). The builtin jnp.sin/jnp.cos pair
 was >half the step: each pays its own range reduction + long polynomial on
 the VPU. ``_fast_sincos`` shares one Cody-Waite reduction and uses
-Chebyshev polynomials (max err 7e-7 over |z|<=100); convergence parity vs
+short polynomials (max err ~1e-6 over |z|<=100); convergence parity vs
 XLA autodiff measured at rounding level over 600 steps.
 
 Per-layer activations are configurable via ``acts`` tuples ("sine", "relu",
@@ -103,13 +103,17 @@ def _default_acts(n_layers: int) -> tuple:
     return ("sine",) * (n_layers - 1) + ("none",)
 
 
-# Chebyshev-interpolation coefficients for sin/cos on [-pi, pi] (power basis;
-# max err 2.3e-9 / 2.1e-8 — below f32 matmul noise at these scales).
-_SIN_C = (9.999999992502e-01, -1.666666592189e-01, 8.333321235980e-03,
-          -1.984053155551e-04, 2.753580048721e-06, -2.472836651537e-08,
-          1.361159629708e-10)
-_COS_C = (1.0, -4.999999705697e-01, 4.166658304680e-02, -1.388820852935e-03,
-          2.477778555931e-05, -2.715012287254e-07, 1.748498650711e-09)
+# Least-squares-on-Chebyshev-nodes coefficients for sin/cos on [-pi, pi]
+# (power basis). Degrees are chosen per consumer: sin (max err 9.6e-8) feeds
+# the forward VALUE, so it sits at f32-matmul-noise accuracy; cos (max err
+# 4.1e-5) only ever becomes the bf16-stashed backward factor, whose
+# quantization step (~3.9e-3 relative) is 100x coarser — so the shorter
+# polynomial is free. Measured: dropping 1 sin + 2 cos FMAs is worth ~2% of
+# the flagship fused step (results/round3_flagship/trig_ab.json).
+_SIN_C = (9.9999959990162e-01, -1.6666552631103e-01, 8.3324029611500e-03,
+          -1.9808632625000e-04, 2.6997138300000e-06, -2.0362210000000e-08)
+_COS_C = (9.9995901886792e-01, -4.9979060076228e-01, 4.1494737249360e-02,
+          -1.3390575581300e-03, 1.8781276700000e-05)
 _INV_2PI = 0.15915494309189535
 _PI2_HI = 6.28125  # Cody-Waite split of 2*pi (hi exact in f32)
 _PI2_LO = 0.0019353071795864769
@@ -144,21 +148,22 @@ def _fast_sincos(z, need_cos: bool = True):
 
     The TPU VPU has no sincos: builtin jnp.sin and jnp.cos each pay their own
     range reduction + polynomial (~20 VPU ops apiece), and the SIREN backward
-    needs both of the pair. This shared-reduction version costs ~17 ops for
-    the pair. Cody-Waite two-step reduction keeps |error| < ~1e-7 for
-    |z| <~ 1e3 (SIREN pre-activations are |omega*z| <~ 1e2).
+    needs both of the pair. This shared-reduction version costs ~14 ops for
+    the pair. Cody-Waite two-step reduction keeps |sin err| < ~6e-7 and
+    |cos err| < ~4e-5 for |z| <~ 1e3 (SIREN pre-activations are
+    |omega*z| <~ 1e2; see the degree rationale at _SIN_C/_COS_C).
     """
     k = jnp.round(z * _INV_2PI)
     r = (z - k * _PI2_HI) - k * _PI2_LO  # r in [-pi, pi]
     r2 = r * r
-    s = _SIN_C[6]
-    for c in _SIN_C[5::-1]:
+    s = _SIN_C[-1]
+    for c in _SIN_C[-2::-1]:
         s = s * r2 + c
     s = s * r
     if not need_cos:
         return s, None
-    c_ = _COS_C[6]
-    for c in _COS_C[5::-1]:
+    c_ = _COS_C[-1]
+    for c in _COS_C[-2::-1]:
         c_ = c_ * r2 + c
     return s, c_
 
@@ -260,9 +265,9 @@ def siren_forward(x: Array, weights: Sequence[Array], omega: float = 30.0,
 # ---------------------------------------------------------------------------
 
 
-def _recompute_forward(x_ref, refs, acts, omega, compute_dtype, fast: bool = False):
-    """Forward recompute for one tile, stashing per-layer inputs and
-    activation-derivative factors.
+def _recompute_forward(x, refs, acts, omega, compute_dtype, fast: bool = False):
+    """Forward recompute for one tile (``x`` is the already-loaded value),
+    stashing per-layer inputs and activation-derivative factors.
 
     Inputs/factors are stashed in bf16: halves the VMEM working set (tile 512
     instead of 256); dW error class matches bf16-compute, measured within
@@ -271,7 +276,7 @@ def _recompute_forward(x_ref, refs, acts, omega, compute_dtype, fast: bool = Fal
     elementwise pass per layer (no second cast inside the dot).
     Returns (h, layer_inputs, factors).
     """
-    h = x_ref[:]
+    h = x
     inputs = []
     factors = []
     for l, act in enumerate(acts):
@@ -337,7 +342,7 @@ def _backward_kernel(omega: float, acts: tuple, compute_dtype=None,
                 r[:] = jnp.zeros_like(r)
 
         _, inputs, factors = _recompute_forward(
-            x_ref, w_refs, acts, omega, compute_dtype, fast
+            x_ref[:], w_refs, acts, omega, compute_dtype, fast
         )
         dx_ref[:] = _backprop_weights(
             w_refs, dW_refs, g_ref[:], inputs, factors, acts, omega,
@@ -413,7 +418,7 @@ siren_fused.defvjp(_fwd, _bwd)
 def _loss_grad_kernel(omega: float, acts: tuple, compute_dtype, inv_n: float,
                       n_rows: int, tile: int, fast: bool = False,
                       with_out_absmax: bool = False,
-                      with_weights: bool = False):
+                      with_weights: bool = False, row_split: int = 1):
     """Forward + MSE residual + backward in one tile visit.
 
     Padded rows are masked out of the residual, so they contribute nothing to
@@ -428,8 +433,16 @@ def _loss_grad_kernel(omega: float, acts: tuple, compute_dtype, inv_n: float,
     acceptance-weighted MSE of master.py:143-145 — mean of w*(y-t)^2 over the
     TOTAL element count (fit/losses.weighted_mse semantics), gradient
     2*w*(y-t)/N.
+
+    ``row_split`` processes the tile as that many independent row sub-blocks
+    (static unroll). The sub-blocks' instruction chains are independent until
+    the dW accumulation, giving the VLIW scheduler independent MXU and VPU
+    work to bundle — sub-block A's sine/cos polynomials can hide behind
+    sub-block B's matmuls, which a single serial chain cannot.
     """
     n_layers = len(acts)
+    assert tile % row_split == 0
+    sub = tile // row_split
 
     def kernel(*refs):
         # inputs: x, W0,b0..W_{n-1},b_{n-1}, target[, sample_weights]
@@ -457,26 +470,36 @@ def _loss_grad_kernel(omega: float, acts: tuple, compute_dtype, inv_n: float,
             for r in dW_refs:
                 r[:] = jnp.zeros_like(r)
 
-        out, inputs, factors = _recompute_forward(
-            x_ref, w_refs, acts, omega, compute_dtype, fast
-        )
-        rows = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0) + i * tile
-        r = jnp.where(rows < n_rows, out - t_ref[:], 0.0)
-        if with_weights:
-            wr = sw_ref[:] * r
-        else:
-            wr = r
+        loss_acc = None
+        absmax_acc = None
+        for s in range(row_split):
+            sl = slice(s * sub, (s + 1) * sub) if row_split > 1 else slice(None)
+            out, inputs, factors = _recompute_forward(
+                x_ref[sl, :], w_refs, acts, omega, compute_dtype, fast
+            )
+            rows = (jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
+                    + i * tile + s * sub)
+            r = jnp.where(rows < n_rows, out - t_ref[sl, :], 0.0)
+            if with_weights:
+                wr = sw_ref[sl, :] * r
+            else:
+                wr = r
+            part = jnp.sum(wr * r).reshape(1, 1)
+            loss_acc = part if loss_acc is None else loss_acc + part
+            if with_out_absmax:
+                pm = jnp.max(
+                    jnp.where(rows < n_rows, jnp.abs(out), 0.0)
+                ).reshape(1, 1)
+                absmax_acc = pm if absmax_acc is None else jnp.maximum(
+                    absmax_acc, pm)
+            _backprop_weights(
+                w_refs, dW_refs, (2.0 * inv_n) * wr, inputs, factors, acts,
+                omega, compute_dtype, need_dx=False,
+            )
         # (1, 1)-shaped store: Mosaic rejects scalar stores to VMEM
-        loss_ref[:] = loss_ref[:] + jnp.sum(wr * r).reshape(1, 1) * inv_n
+        loss_ref[:] = loss_ref[:] + loss_acc * inv_n
         if with_out_absmax:
-            tile_max = jnp.max(
-                jnp.where(rows < n_rows, jnp.abs(out), 0.0)
-            ).reshape(1, 1)
-            absmax_ref[:] = jnp.maximum(absmax_ref[:], tile_max)
-        _backprop_weights(
-            w_refs, dW_refs, (2.0 * inv_n) * wr, inputs, factors, acts, omega,
-            compute_dtype, need_dx=False,
-        )
+            absmax_ref[:] = jnp.maximum(absmax_ref[:], absmax_acc)
 
     return kernel
 
@@ -484,7 +507,7 @@ def _loss_grad_kernel(omega: float, acts: tuple, compute_dtype, inv_n: float,
 @functools.partial(
     jax.jit,
     static_argnames=("omega", "compute_dtype", "acts", "interpret", "tile",
-                     "fast_sincos", "n_rows", "with_out_absmax"),
+                     "fast_sincos", "n_rows", "with_out_absmax", "row_split"),
 )
 def siren_loss_grads(
     x: Array,
@@ -499,6 +522,7 @@ def siren_loss_grads(
     n_rows: int | None = None,
     with_out_absmax: bool = False,
     sample_weights: Array | None = None,
+    row_split: int = 1,
 ):
     """One-pass ``(mse_loss, dweights)`` for a full-batch train step.
 
@@ -550,7 +574,8 @@ def siren_loss_grads(
     outs = pl.pallas_call(
         _loss_grad_kernel(float(omega), acts, compute_dtype, inv_n, P, tile,
                           fast_sincos, with_out_absmax,
-                          with_weights=sample_weights is not None),
+                          with_weights=sample_weights is not None,
+                          row_split=row_split),
         out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=in_specs,
@@ -680,7 +705,7 @@ def pad_rows_to(x: Array, tile: int = 512) -> Array:
 @functools.lru_cache(maxsize=None)
 def make_fused_value_and_grad(model, compute_dtype=None, tile: int = 512,
                               fold_omega: bool = False, fast_sincos: bool = True,
-                              n_rows: int | None = None):
+                              n_rows: int | None = None, row_split: int = 1):
     """A drop-in for ``jax.value_and_grad(lambda p: mse(apply(p, x), t))``
     running the whole train-step gradient in one kernel pass.
 
@@ -718,7 +743,7 @@ def make_fused_value_and_grad(model, compute_dtype=None, tile: int = 512,
             )
             loss, dws = siren_loss_grads(
                 x, ws_f, target, 1.0, compute_dtype, acts, tile=tile,
-                fast_sincos=fast_sincos, n_rows=n_rows,
+                fast_sincos=fast_sincos, n_rows=n_rows, row_split=row_split,
             )
             dws = tuple(
                 d * scales[i // 2] if scales[i // 2] != 1.0 else d
@@ -735,7 +760,7 @@ def make_fused_value_and_grad(model, compute_dtype=None, tile: int = 512,
         ws = tuple(weights_from_flax(params))
         loss, dws = siren_loss_grads(
             x, ws, target, omega, compute_dtype, acts, tile=tile,
-            fast_sincos=fast_sincos, n_rows=n_rows,
+            fast_sincos=fast_sincos, n_rows=n_rows, row_split=row_split,
         )
         return loss, weights_to_flax(dws, params, fill_zeros=True)
 
