@@ -114,6 +114,11 @@ _SIN_C = (9.9999959990162e-01, -1.6666552631103e-01, 8.3324029611500e-03,
           -1.9808632625000e-04, 2.6997138300000e-06, -2.0362210000000e-08)
 _COS_C = (9.9995901886792e-01, -4.9979060076228e-01, 4.1494737249360e-02,
           -1.3390575581300e-03, 1.8781276700000e-05)
+# 7-coeff cos (max err 1.1e-8) for consumers where cos is a forward VALUE
+# (the WIRE Gabor real part), not a bf16-stashed factor.
+_COS_C_HI = (9.9999998902293e-01, -4.9999989100171e-01, 4.1666489209710e-02,
+             -1.3887803564300e-03, 2.4769882870000e-05, -2.7079024000000e-07,
+             1.7245100000000e-09)
 _INV_2PI = 0.15915494309189535
 _PI2_HI = 6.28125  # Cody-Waite split of 2*pi (hi exact in f32)
 _PI2_LO = 0.0019353071795864769
@@ -143,7 +148,7 @@ def _fast_exp(u):
     return p * two_k
 
 
-def _fast_sincos(z, need_cos: bool = True):
+def _fast_sincos(z, need_cos: bool = True, precise_cos: bool = False):
     """sin(z) (and cos(z)) via ONE shared range reduction + short polynomials.
 
     The TPU VPU has no sincos: builtin jnp.sin and jnp.cos each pay their own
@@ -162,8 +167,9 @@ def _fast_sincos(z, need_cos: bool = True):
     s = s * r
     if not need_cos:
         return s, None
-    c_ = _COS_C[-1]
-    for c in _COS_C[-2::-1]:
+    cs = _COS_C_HI if precise_cos else _COS_C
+    c_ = cs[-1]
+    for c in cs[-2::-1]:
         c_ = c_ * r2 + c
     return s, c_
 

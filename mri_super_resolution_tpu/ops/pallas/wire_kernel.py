@@ -61,9 +61,11 @@ def _exp_sincos(u, z, fast: bool):
     replaces three builtin transcendentals (each with its own range
     reduction) with one shared sincos reduction + ldexp-style exp
     (VERDICT r2 #4; |rel err| ~2e-7, below the bf16 stash resolution the
-    backward already accepts)."""
+    backward already accepts). ``precise_cos``: here cos is the Gabor REAL
+    PART — a forward value — so it keeps the 7-coeff polynomial; the
+    backward's sincos recomputations feed gradients and use the short one."""
     if fast:
-        s, c = _fast_sincos(z)
+        s, c = _fast_sincos(z, precise_cos=True)
         return _fast_exp(u), s, c
     return jnp.exp(u), jnp.sin(z), jnp.cos(z)
 
