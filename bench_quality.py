@@ -68,18 +68,25 @@ def main():
         results = {}
         elapsed = 0.0
         done = 0
-        # compile chunk once
+        # compile BOTH chunk variants (fresh-init and carried opt_state) once
         warm = fit_simple(apply_fn, tx, jax.tree.map(jnp.copy, params), inputs, target, args.chunk, value_and_grad_fn=vag)
+        warm = fit_simple(apply_fn, tx, warm.params, inputs, target,
+                          args.chunk, value_and_grad_fn=vag,
+                          opt_state=warm.opt_state)
         jax.device_get(warm.losses)
         # fit_simple donates its params: work on a copy so the caller's
         # pytree survives for reuse by another run_model
         p = jax.tree.map(jnp.copy, params)
+        # carry opt_state across chunks: a fresh tx.init per chunk resets
+        # Adam moments (and schedule counts), distorting time-to-PSNR
+        ostate = None
         while done < args.max_steps:
             t0 = time.perf_counter()
-            res = fit_simple(apply_fn, tx, p, inputs, target, args.chunk, value_and_grad_fn=vag)
+            res = fit_simple(apply_fn, tx, p, inputs, target, args.chunk,
+                             value_and_grad_fn=vag, opt_state=ostate)
             loss = float(jax.device_get(res.losses[-1]))
             elapsed += time.perf_counter() - t0
-            p = res.params
+            p, ostate = res.params, res.opt_state
             done += args.chunk
             psnr = 10.0 * np.log10(data_range**2 / loss)
             for t in TARGETS:
@@ -109,6 +116,12 @@ def main():
     apply_fn = make_fused_apply(siren) if on_tpu else siren.apply
     vag = make_fused_value_and_grad(siren) if on_tpu else None
     run_model("ff_siren", apply_fn, sp, optax.adam(1e-4), vag=vag)
+    # restart_adam: periodic moment restarts — measured faster to every
+    # PSNR target AND a higher final plateau than the reference flat Adam
+    # (fit/optim.py rationale; results/round3_flagship/fast_fit.json)
+    from mri_super_resolution_tpu.fit.optim import restart_adam
+    run_model("ff_siren_restart100", apply_fn, sp, restart_adam(1e-4, 100),
+              vag=vag)
 
     # GridINR on raw coords — both the per-point-gather path (honest round-1
     # negative result) and the separable tensor-product path (the TPU fix:

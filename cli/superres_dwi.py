@@ -38,6 +38,10 @@ def main(argv=None):
                    help="export zero-shot LR/GT/SR triplets (forbagci.py variant)")
     p.add_argument("--inr_lr", type=float, default=1e-4,
                    help="INR learning rate (inrDWI.py clean-data variant uses 5e-5)")
+    p.add_argument("--inr_restart_every", type=int, default=0,
+                   help="periodic Adam-moment restarts for the INR fit "
+                        "(0 = reference flat Adam; 100 measured faster to "
+                        "target AND a higher final plateau — see fit/optim.py)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="SR_results")
     args = p.parse_args(argv)
@@ -51,6 +55,7 @@ def main(argv=None):
         roi_start=args.roi_start,
         roi_end=args.roi_end,
         inr_lr=args.inr_lr,
+        inr_restart_every=args.inr_restart_every,
     )
 
     patients = []

@@ -48,6 +48,11 @@ class SupperresDWIConfig:
     pn_eps: float = 1.0 / 128.0
     te_index: int = 1  # TE=70ms column used for rescaling outputs
     use_pallas: bool = True  # fused SIREN kernel on TPU (31% faster step)
+    # >0 switches the INR optimizer to restart_adam(inr_lr, every): periodic
+    # Adam-moment restarts measure both faster time-to-PSNR and a higher
+    # final plateau than the reference's flat Adam on this fit (fit/optim.py
+    # rationale; results/round3_flagship/fast_fit.json). 0 = reference flat.
+    inr_restart_every: int = 0
 
 
 @dataclasses.dataclass

@@ -61,13 +61,20 @@ def fit_simple(
     target: Array,
     num_steps: int,
     value_and_grad_fn: Callable | None = None,
+    opt_state=None,
 ) -> FitResult:
     """``num_steps`` full-batch Adam MSE steps on (coords -> target).
 
     ``value_and_grad_fn(params, coords, target) -> (loss, grads)`` overrides
     the default autodiff path — e.g. the one-pass fused Pallas gradient
-    (ops/pallas/siren_kernel.make_fused_value_and_grad)."""
-    opt_state = tx.init(params)
+    (ops/pallas/siren_kernel.make_fused_value_and_grad).
+
+    ``opt_state`` continues from a previous call's ``FitResult.opt_state``
+    instead of a fresh ``tx.init`` — REQUIRED when chunking one logical fit
+    across calls: a fresh init resets Adam moments and, for scheduled
+    optimizers, the step count, so every chunk would restart the schedule."""
+    if opt_state is None:
+        opt_state = tx.init(params)
 
     def step(carry, _):
         params, opt_state = carry

@@ -27,3 +27,42 @@ import optax
 def cached_adam(learning_rate: float) -> optax.GradientTransformation:
     """optax.adam with an identity stable across calls with equal lr."""
     return optax.adam(learning_rate)
+
+
+@functools.lru_cache(maxsize=None)
+def restart_adam(learning_rate: float, every: int) -> optax.GradientTransformation:
+    """Adam with periodic moment restarts (identity-stable).
+
+    Every ``every`` steps the inner Adam state — first/second moments AND
+    bias-correction count — is reset to zero. On full-batch INR fits the
+    reset briefly re-inflates the effective step (fresh bias correction) and
+    discards stale second-moment scales, which measures as BOTH faster
+    time-to-PSNR and a higher final plateau than flat Adam on the flagship
+    3-D fit: 40 dB in 600 vs 1100 steps and a 71.2 vs 53.8 dB final at
+    lr=1e-4/every=100 (results/round3_flagship/fast_fit.json; discovered via
+    the round-1 bench protocol, whose per-chunk ``tx.init`` was resetting
+    state every 100 steps by accident and outperforming the continuous fit).
+
+    The reset happens inside ``update`` via a counter carried in the state,
+    so the schedule works unchanged inside ``lax.scan`` fit loops.
+    """
+    inner = optax.adam(learning_rate)
+
+    def init(params):
+        import jax.numpy as jnp
+
+        return (inner.init(params), jnp.zeros([], jnp.int32))
+
+    def update(grads, state, params=None):
+        import jax
+        import jax.numpy as jnp
+
+        inner_state, step = state
+        do = jnp.logical_and(step > 0, step % every == 0)
+        inner_state = jax.tree.map(
+            lambda x: jnp.where(do, jnp.zeros_like(x), x), inner_state
+        )
+        updates, inner_state = inner.update(grads, inner_state, params)
+        return updates, (inner_state, step + 1)
+
+    return optax.GradientTransformation(init, update)

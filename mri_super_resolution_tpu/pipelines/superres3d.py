@@ -39,7 +39,7 @@ from mri_super_resolution_tpu.data import (
 )
 from mri_super_resolution_tpu.fit.engine import fit_alternating_pn, infer_grid
 from mri_super_resolution_tpu.models import Siren, PerturbNet
-from mri_super_resolution_tpu.fit.optim import cached_adam
+from mri_super_resolution_tpu.fit.optim import cached_adam, restart_adam
 
 Array = jax.Array
 
@@ -131,10 +131,14 @@ def run_patient(
     else:
         inr_apply = inr.apply
 
+    # inr_restart_every > 0: periodic Adam-moment restarts (fit/optim.py) —
+    # measured faster time-to-PSNR AND higher final plateau than flat Adam
+    inr_tx = (restart_adam(cfg.inr_lr, cfg.inr_restart_every)
+              if cfg.inr_restart_every else cached_adam(cfg.inr_lr))
     res = fit_alternating_pn(
         inr_apply,
         pn.apply,
-        cached_adam(cfg.inr_lr),
+        inr_tx,
         cached_adam(cfg.pn_lr),
         inr_params,
         pn_params,

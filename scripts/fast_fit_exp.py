@@ -1,0 +1,117 @@
+"""Optimizer-schedule sweep for time-to-PSNR on the flagship fit.
+
+The reference trains with flat Adam 1e-4 (superresDWI.py:110). The fused
+kernel made the per-step cost ~speed-of-light; the remaining lever on
+time-to-quality is the step COUNT. Sweep flat-lr and one-cycle schedules,
+recording steps to cross each PSNR target on the bench_quality workload.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+TARGETS = (30.0, 35.0, 40.0, 50.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=100)
+    ap.add_argument("--max_steps", type=int, default=2500)
+    ap.add_argument("--out", default="results/round3_flagship/fast_fit.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mri_super_resolution_tpu.core.coords import (
+        fourier_matrix, fourier_encode, mgrid)
+    from mri_super_resolution_tpu.data import load_mat, synthetic, expand_from_hybrid
+    from mri_super_resolution_tpu.fit.engine import fit_simple
+    from mri_super_resolution_tpu.models import Siren
+    from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+        make_fused_value_and_grad, pad_rows_to)
+    from mri_super_resolution_tpu.pipelines.superres3d import normalize_hybrid
+
+    data_dir = os.environ.get("MRI_SR_DATA_DIR", "/root/reference/anon_data")
+    b0_path = os.path.join(data_dir, "pat07_mean_b0.mat")
+    if os.path.exists(b0_path):
+        b0 = np.asarray(load_mat(b0_path, "data_mean_b0"), dtype=np.float32)
+    else:
+        b0 = np.abs(np.random.default_rng(0).normal(
+            1, 0.3, (128, 128, 28))).astype(np.float32)
+    hybrid = synthetic.hybrid_from_b0(b0, seed=7)
+    normed, _ = normalize_hybrid(hybrid)
+    mean_img = np.asarray(expand_from_hybrid(normed, te=0)).mean(-1)
+    lr = mean_img[40:90:2, 40:90:2]
+    target = jnp.asarray(lr.reshape(-1, 1))
+    coords = mgrid(lr.shape)
+    data_range = float(lr.max() - lr.min())
+
+    key = jax.random.key(0)
+    B = fourier_matrix(key, 128, 4, 0.5)
+    inputs = fourier_encode(coords, B)
+    siren = Siren(hidden_features=512, hidden_layers=3)
+    sp = siren.init(key, inputs[:8])
+    n_real = coords.shape[0]
+    vag = make_fused_value_and_grad(siren, n_rows=n_real)
+    xin, tp = pad_rows_to(inputs, 512), pad_rows_to(target, 512)
+
+    def sweep(name, tx, reset_every=None):
+        p = jax.tree.map(jnp.copy, sp)
+        # warm BOTH executable variants (fresh-init and carried opt_state)
+        # on a throwaway copy so no compile lands inside the timed loop
+        w = fit_simple(siren.apply, tx, jax.tree.map(jnp.copy, sp), xin, tp,
+                       args.chunk, value_and_grad_fn=vag)
+        w = fit_simple(siren.apply, tx, w.params, xin, tp, args.chunk,
+                       value_and_grad_fn=vag, opt_state=w.opt_state)
+        jax.device_get(w.losses)
+        results, elapsed, done = {}, 0.0, 0
+        psnr = 0.0
+        ostate = None
+        while done < args.max_steps:
+            if reset_every and done and done % reset_every == 0:
+                ostate = None  # explicit Adam warm restart
+            t0 = time.perf_counter()
+            res = fit_simple(siren.apply, tx, p, xin, tp, args.chunk,
+                             value_and_grad_fn=vag, opt_state=ostate)
+            loss = float(jax.device_get(res.losses[-1]))
+            elapsed += time.perf_counter() - t0
+            p, ostate, done = res.params, res.opt_state, done + args.chunk
+            psnr = 10.0 * np.log10(data_range ** 2 / max(loss, 1e-12))
+            for t in TARGETS:
+                if t not in results and psnr >= t:
+                    results[t] = {"seconds": round(elapsed, 2), "steps": done}
+        row = {"schedule": name,
+               "targets": {str(k): v for k, v in results.items()},
+               "final_psnr": round(psnr, 2), "steps": done}
+        print(json.dumps(row), flush=True)
+        return row
+
+    out = []
+    out.append(sweep("adam_1e-4_flat (reference)", optax.adam(1e-4)))
+    out.append(sweep("adam_1e-4_restart100 (round-1 bench protocol)",
+                     optax.adam(1e-4), reset_every=100))
+    out.append(sweep("adam_3e-4_flat", optax.adam(3e-4)))
+    cos = optax.cosine_decay_schedule(3e-4, args.max_steps, alpha=0.1)
+    out.append(sweep("adam_3e-4_cosine", optax.adam(cos)))
+    out.append(sweep("adam_3e-4_cosine_restart500", optax.adam(
+        optax.join_schedules([optax.cosine_decay_schedule(3e-4, 500, alpha=0.1)] * 5,
+                             [500, 1000, 1500, 2000])), reset_every=500))
+    out.append(sweep("adam_1e-4_restart50", optax.adam(1e-4), reset_every=50))
+    out.append(sweep("adam_1e-4_restart200", optax.adam(1e-4), reset_every=200))
+    out.append(sweep("adam_3e-4_restart100", optax.adam(3e-4), reset_every=100))
+    out.append(sweep("adam_2e-4_restart100", optax.adam(2e-4), reset_every=100))
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    json.dump(out, open(args.out, "w"), indent=1)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -235,3 +235,75 @@ class TestInferGridFourierB:
         assert a is b
         c = _grid_runner(model.apply, False, 0.0)
         assert a is not c
+
+
+class TestRestartAdam:
+    def test_identity_stable(self):
+        from mri_super_resolution_tpu.fit.optim import restart_adam
+
+        assert restart_adam(1e-4, 100) is restart_adam(1e-4, 100)
+        assert restart_adam(1e-4, 100) is not restart_adam(1e-4, 50)
+
+    def test_resets_moments(self):
+        """After `every` updates the inner Adam count must restart: the
+        post-reset state equals a fresh optimizer fed the same gradient."""
+        from mri_super_resolution_tpu.fit.optim import restart_adam
+
+        tx = restart_adam(1e-2, 3)
+        params = {"w": jnp.ones((4,))}
+        g = {"w": jnp.full((4,), 0.5)}
+        state = tx.init(params)
+        for _ in range(3):
+            _, state = tx.update(g, state, params)
+        # step 3 triggers the reset, so this update acts on zeroed moments
+        upd_restart, state = tx.update(g, state, params)
+        fresh = tx.init(params)
+        upd_fresh, _ = tx.update(g, fresh, params)
+        np.testing.assert_allclose(
+            np.asarray(upd_restart["w"]), np.asarray(upd_fresh["w"]), atol=0)
+        assert int(state[1]) == 4  # outer counter keeps running
+
+    def test_matches_chunked_reinit_fit(self):
+        """In-scan restarts == the host-loop protocol of re-initing tx every
+        chunk (how the effect was discovered; see restart_adam docstring)."""
+        from mri_super_resolution_tpu.fit.optim import restart_adam
+
+        img = _target_image(16)
+        coords = mgrid((16, 16))
+        target = jnp.asarray(img.reshape(-1, 1))
+        model = Siren(hidden_features=32, hidden_layers=1)
+        p0 = model.init(jax.random.key(0), coords)
+
+        res = fit_simple(model.apply, restart_adam(1e-4, 25),
+                         jax.tree.map(jnp.copy, p0), coords, target, 100)
+        tx = optax.adam(1e-4)
+        p, chunks = jax.tree.map(jnp.copy, p0), []
+        for _ in range(4):
+            r = fit_simple(model.apply, tx, p, coords, target, 25)
+            p = r.params
+            chunks.append(np.asarray(r.losses))
+        np.testing.assert_allclose(
+            np.asarray(res.losses), np.concatenate(chunks), rtol=1e-3)
+
+    def test_opt_state_carry(self):
+        """fit_simple(opt_state=...) must continue, not restart, the
+        optimizer: a scheduled lr keeps decaying across chunks."""
+        import optax as _optax
+
+        img = _target_image(12)
+        coords = mgrid((12, 12))
+        target = jnp.asarray(img.reshape(-1, 1))
+        model = Siren(hidden_features=16, hidden_layers=1)
+        p0 = model.init(jax.random.key(0), coords)
+        tx = _optax.adam(_optax.cosine_decay_schedule(1e-3, 60, alpha=0.0))
+
+        cont = fit_simple(model.apply, tx, jax.tree.map(jnp.copy, p0),
+                          coords, target, 60)
+        r1 = fit_simple(model.apply, tx, jax.tree.map(jnp.copy, p0),
+                        coords, target, 30)
+        r2 = fit_simple(model.apply, tx, r1.params, coords, target, 30,
+                        opt_state=r1.opt_state)
+        np.testing.assert_allclose(
+            np.asarray(cont.losses),
+            np.concatenate([np.asarray(r1.losses), np.asarray(r2.losses)]),
+            rtol=1e-4)

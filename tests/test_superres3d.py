@@ -72,3 +72,15 @@ class TestSuperres3D:
         assert acq.shape[-1] == 2 * 2 * 2
         assert maxes.shape == (4, 4)
         assert np.all(maxes > 0)
+
+
+class TestRestartOption:
+    def test_run_patient_with_restarts(self, tiny_setup):
+        """inr_restart_every routes the INR fit through restart_adam inside
+        the scanned alternating-PN loop (see fit/optim.py rationale)."""
+        import dataclasses
+
+        hybrid, bvalues, cfg = tiny_setup
+        cfg_r = dataclasses.replace(cfg, inr_restart_every=10)
+        result = superres3d.run_patient(hybrid, bvalues, cfg_r, seed=0, pt_id=7)
+        assert np.isfinite(result.recon_2x).all()
