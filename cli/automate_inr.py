@@ -78,11 +78,13 @@ def main(argv=None):
         pn = PerturbNet(hidden_features=args.hidden, dimension=2)
         pn_params = pn.init(kP, ff[:8], 0, 0.0)
         # mean phase, then alternating with snapshots per chunk
+        opt_state = None
         while done < args.epochs:
             chunk = min(args.snapshot_every, args.epochs - done)
             if done + chunk <= args.mean_epochs:
-                res = fit_simple(inr.apply, tx, params, ff, target, chunk)
-                params = res.params
+                res = fit_simple(inr.apply, tx, params, ff, target, chunk,
+                                 opt_state=opt_state)
+                params, opt_state = res.params, res.opt_state
             else:
                 res = fit_alternating_pn(
                     inr.apply, pn.apply, tx, optax.adam(1e-6), params, pn_params,
@@ -93,10 +95,12 @@ def main(argv=None):
             snapshot(params)
             print(f"epoch {done}: loss {float(res.losses[-1]):.3e}")
     else:
+        opt_state = None
         while done < args.epochs:
             chunk = min(args.snapshot_every, args.epochs - done)
-            res = fit_simple(inr.apply, tx, params, ff, target, chunk)
-            params = res.params
+            res = fit_simple(inr.apply, tx, params, ff, target, chunk,
+                             opt_state=opt_state)
+            params, opt_state = res.params, res.opt_state
             done += chunk
             snapshot(params)
             print(f"epoch {done}: loss {float(res.losses[-1]):.3e}")

@@ -66,9 +66,11 @@ def main(argv=None):
     prev = np.inf
     t0 = time.perf_counter()
     total = 0
+    opt_state = None
     while total < args.max_steps:
-        res = fit_simple(model.apply, tx, params, coords, target, args.check_every)
-        params = res.params
+        res = fit_simple(model.apply, tx, params, coords, target,
+                         args.check_every, opt_state=opt_state)
+        params, opt_state = res.params, res.opt_state
         loss = float(res.losses[-1])
         total += args.check_every
         print(f"step {total}: loss {loss:.3e}")

@@ -203,7 +203,7 @@ def fit_ensemble(
 # --------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=None)
 def plain_apply_init(model, ndim: int = 2):
     """Identity-stable ``(apply_fn, init_fn)`` pair for perturb-style models
     (``model.apply(p, coords, sample, eps)``) with the perturbation off.

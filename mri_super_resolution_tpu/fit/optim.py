@@ -45,7 +45,13 @@ def restart_adam(learning_rate: float, every: int) -> optax.GradientTransformati
 
     The reset happens inside ``update`` via a counter carried in the state,
     so the schedule works unchanged inside ``lax.scan`` fit loops.
+
+    ``every <= 0`` means "no restarts" (the config convention for the
+    disabled flag) and returns plain cached Adam rather than tracing
+    ``step % 0``.
     """
+    if every <= 0:
+        return cached_adam(learning_rate)
     inner = optax.adam(learning_rate)
 
     def init(params):

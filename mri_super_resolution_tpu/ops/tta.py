@@ -31,13 +31,22 @@ def _rot(x: Array, k: int) -> Array:
 
 
 def geometric_ensemble_predict(
-    apply_fn: Callable, x: Array, shuffle_key: jax.Array | None = None
+    apply_fn: Callable,
+    x: Array,
+    shuffle_key: jax.Array | None = None,
+    max_device_batch: int = 64,
 ) -> np.ndarray:
     """RAMS+ 8-fold flip/rotate self-ensemble (prediction.py:31-52).
 
     ``x``: (B, H, W, T). Each of the 8 (flip, rot) combos is predicted and
     un-transformed (inverse rotation k' = 4-k, then flip), then averaged.
     Optionally shuffles the temporal axis per variant.
+
+    Square inputs ride one batched forward of size 8B — but only while
+    8B <= ``max_device_batch``: the batched call multiplies peak activation
+    memory 8x, so large serving batches that fit per-variant would OOM.
+    Past the cap the per-variant loop (peak batch B, as before the batching
+    change) is used instead.
     """
     variants, metas = [], []
     for f in (0, 1):
@@ -49,7 +58,7 @@ def geometric_ensemble_predict(
                 xa = xa[..., perm]
             variants.append(xa)
             metas.append((bool(f), k))
-    if x.shape[1] == x.shape[2]:
+    if x.shape[1] == x.shape[2] and 8 * x.shape[0] <= max_device_batch:
         # square tiles (the production patch shape): all 8 variants ride ONE
         # batched forward instead of 8 launches
         srs = predict_tensor(apply_fn, jnp.concatenate(variants, axis=0))
@@ -58,7 +67,7 @@ def geometric_ensemble_predict(
             _flip(_rot(srs[i * B:(i + 1) * B], (4 - k) % 4), f)
             for i, (f, k) in enumerate(metas)
         ]
-    else:  # odd rotations change the spatial shape; predict per variant
+    else:  # non-square (odd rotations change shape) or large batch: per variant
         outs = [
             _flip(_rot(predict_tensor(apply_fn, xa), (4 - k) % 4), f)
             for xa, (f, k) in zip(variants, metas)

@@ -26,13 +26,11 @@ CSV schema: pt_id, slice, ssim_spline, ssim_sr, psnr_spline, psnr_sr.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from mri_super_resolution_tpu.core.coords import mgrid
 from mri_super_resolution_tpu.core.interp import rescale

@@ -19,14 +19,12 @@ arms and computes SSIM/MSE/MS-SSIM/FSIM/SR-SIM (raw + HPF) per panel.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from mri_super_resolution_tpu.config import INRERDConfig
 from mri_super_resolution_tpu.core.adc import adc_log_ratio
