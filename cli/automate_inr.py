@@ -77,8 +77,10 @@ def main(argv=None):
         )
         pn = PerturbNet(hidden_features=args.hidden, dimension=2)
         pn_params = pn.init(kP, ff[:8], 0, 0.0)
-        # mean phase, then alternating with snapshots per chunk
-        opt_state = None
+        # mean phase, then alternating with snapshots per chunk; optimizer
+        # state carries across chunk boundaries (one logical schedule)
+        opt_state = pn_opt_state = None
+        pn_tx = optax.adam(1e-6)
         while done < args.epochs:
             chunk = min(args.snapshot_every, args.epochs - done)
             if done + chunk <= args.mean_epochs:
@@ -87,10 +89,12 @@ def main(argv=None):
                 params, opt_state = res.params, res.opt_state
             else:
                 res = fit_alternating_pn(
-                    inr.apply, pn.apply, tx, optax.adam(1e-6), params, pn_params,
+                    inr.apply, pn.apply, tx, pn_tx, params, pn_params,
                     ff, target, acq_pixels, B, num_epochs=chunk, pn_epochs=chunk,
+                    inr_opt_state=opt_state, pn_opt_state=pn_opt_state,
                 )
                 params, pn_params = res.inr_params, res.pn_params
+                opt_state, pn_opt_state = res.inr_opt_state, res.pn_opt_state
             done += chunk
             snapshot(params)
             print(f"epoch {done}: loss {float(res.losses[-1]):.3e}")

@@ -298,6 +298,8 @@ class AlternatingResult(NamedTuple):
     inr_params: Params
     pn_params: Params
     losses: Array
+    inr_opt_state: object = None
+    pn_opt_state: object = None
 
 
 @functools.partial(
@@ -330,6 +332,8 @@ def fit_alternating_pn(
     inr_value_and_grad: Callable | None = None,
     padded_ff: Array | None = None,
     padded_target: Array | None = None,
+    inr_opt_state=None,
+    pn_opt_state=None,
 ) -> AlternatingResult:
     """superresDWI.py:132-156: ``num_epochs - pn_epochs`` INR-on-mean steps,
     then ``pn_epochs`` alternating steps — odd: INR-on-mean; even: one
@@ -347,9 +351,13 @@ def fit_alternating_pn(
     the flagship volume (XLA does not hoist the loop-invariant pad itself).
     The PN branch keeps ``inr_apply`` and the unpadded arrays (its gradient
     flows through the INR's input).
+
+    ``inr_opt_state``/``pn_opt_state`` continue from a previous call's
+    ``AlternatingResult`` states — required when chunking one logical
+    schedule across calls (same contract as ``fit_simple``'s opt_state).
     """
-    inr_opt = inr_tx.init(inr_params)
-    pn_opt = pn_tx.init(pn_params)
+    inr_opt = inr_tx.init(inr_params) if inr_opt_state is None else inr_opt_state
+    pn_opt = pn_tx.init(pn_params) if pn_opt_state is None else pn_opt_state
     vag_ff = ff_coords if padded_ff is None else padded_ff
     vag_target = mean_target if padded_target is None else padded_target
 
@@ -417,7 +425,8 @@ def fit_alternating_pn(
         phase2_step, (inr_params, inr_opt, pn_params, pn_opt), epochs
     )
     return AlternatingResult(
-        inr_params, pn_params, jnp.concatenate([p1_losses, p2_losses])
+        inr_params, pn_params, jnp.concatenate([p1_losses, p2_losses]),
+        inr_opt, pn_opt,
     )
 
 

@@ -135,6 +135,47 @@ class TestAlternatingPN:
         assert res.losses.shape == (30,)
         assert float(res.losses[20]) < float(res.losses[0])
 
+    def test_opt_state_carry_matches_continuous(self):
+        # two chunked calls with carried opt states == one continuous call
+        # (pn_epochs=0 chunks: pure phase-1, the automate_INR mean schedule)
+        side, A, m = 8, 2, 8
+        rng = np.random.default_rng(3)
+        img = _target_image(side)
+        B = fourier_matrix(jax.random.key(5), m, 2, scale=0.5)
+        ff = fourier_encode(mgrid((side, side)), B)
+        mean_target = jnp.asarray(img.reshape(-1, 1))
+        acq = jnp.asarray(
+            np.stack([img + 0.02 * rng.normal(size=img.shape) for _ in range(A)])
+            .reshape(A, -1, 1).astype(np.float32)
+        )
+        inr = Siren(hidden_features=16, hidden_layers=1)
+        pn = PerturbNet(hidden_features=8, dimension=2)
+        inr_p = inr.init(jax.random.key(0), ff)
+        pn_p = pn.init(jax.random.key(1), ff, 0, 0.0)
+        itx, ptx = optax.adam(1e-4), optax.adam(1e-6)
+
+        cp = lambda t: jax.tree.map(jnp.copy, t)  # params are donated
+        cont = fit_alternating_pn(
+            inr.apply, pn.apply, itx, ptx,
+            cp(inr_p), cp(pn_p), ff, mean_target, acq, B,
+            num_epochs=20, pn_epochs=0,
+        )
+        first = fit_alternating_pn(
+            inr.apply, pn.apply, itx, ptx,
+            cp(inr_p), cp(pn_p), ff, mean_target, acq, B,
+            num_epochs=10, pn_epochs=0,
+        )
+        second = fit_alternating_pn(
+            inr.apply, pn.apply, itx, ptx,
+            first.inr_params, first.pn_params, ff, mean_target, acq, B,
+            num_epochs=10, pn_epochs=0,
+            inr_opt_state=first.inr_opt_state, pn_opt_state=first.pn_opt_state,
+        )
+        for x, y in zip(jax.tree.leaves(cont.inr_params),
+                        jax.tree.leaves(second.inr_params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-6, atol=1e-7)
+
 
 class TestInferGrid:
     def test_chunked_equals_unchunked(self):
