@@ -158,7 +158,8 @@ def _uid(seed: bytes) -> str:
 
 def _elem(group: int, elem: int, vr: str, value: bytes) -> bytes:
     if len(value) % 2:
-        value += b"\x00" if vr not in ("UI",) else b"\x00"
+        # DICOM PS3.5 6.2: text VRs pad with SPACE, UI/binary with NUL
+        value += b"\x00" if vr in ("UI", "OB", "UN") else b" "
     if vr in ("OB", "OW", "SQ", "UN", "UT"):
         return struct.pack("<HH2sHI", group, elem, vr.encode(), 0, len(value)) + value
     return struct.pack("<HH2sH", group, elem, vr.encode(), len(value)) + value

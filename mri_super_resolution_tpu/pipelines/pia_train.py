@@ -46,8 +46,6 @@ def train_synthetic(
 
     @jax.jit
     def run(params):
-        opt_state = tx.init(params)
-
         def step(carry, k):
             params, opt_state = carry
             sig, D, T2, v, clean = synthetic_batch(k, batch_size, noise_std)

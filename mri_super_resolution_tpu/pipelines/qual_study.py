@@ -65,15 +65,15 @@ def build_panel(
     b = case.b[3]
     b0 = case.b0[:, :, _slice]
     dwi = case.b3[:, :, _slice, :]
-    H = dwi.shape[0]
+    H, W = dwi.shape[:2]
     A = dwi.shape[-1]
 
     base = dwi.mean(-1)
     img_low = np.asarray(rescale(jnp.asarray(base), 0.5, anti_aliasing=True))
-    h = img_low.shape[0]
+    h, w = img_low.shape
     b0_low = np.asarray(rescale(jnp.asarray(b0), 0.5, anti_aliasing=True))
 
-    coords = mgrid((h, h))
+    coords = mgrid((h, w))
     # [0, 1]-space target, NOT Normalize(0.5, 0.5): the SirenERD output head
     # is ReLU'd, so on unit-scale volumes the normalized ~-1 background is
     # unrepresentable — the loss<2e-5 while-loop would burn max_steps and the
@@ -120,10 +120,10 @@ def build_panel(
     params, _ = fine_tune(params, coords, acq_ids, acq_targets, acq_weights)
 
     # full-res reconstruction, perturb-averaged (prepare_qual_images.py:268-275)
-    big_coords = mgrid((H, H))
+    big_coords = mgrid((H, W))
     recon_big = _recon_mean_fn(model, float(cfg.perturb_eps))
     sr = np.asarray(
-        recon_big(params, big_coords, acq_ids)).reshape(H, H)
+        recon_big(params, big_coords, acq_ids)).reshape(H, W)
 
     interpolated = np.asarray(rescale(jnp.asarray(img_low), 2, anti_aliasing=True))
     b0_up = np.asarray(rescale(jnp.asarray(b0_low), 2, anti_aliasing=True))
@@ -205,15 +205,16 @@ def run(
 def score_panels(panels: dict[int, QualPanel], out_csv: str) -> str:
     """Perceptual scoring of prepared panels — the perceptual_similarity.m
     analysis with the MATLAB metrics replaced by ops/perceptual."""
-    first = True
+    csv = None
     for counter, panel in sorted(panels.items()):
         scores = score_panel(
             HR=panel.base * 255.0 / (panel.base.max() + 1e-7),
             interp=panel.interpolated * 255.0 / (panel.base.max() + 1e-7),
             SR=panel.sr * 255.0 / (panel.base.max() + 1e-7),
         )
-        if first:
+        if csv is None:
             csv = MetricsCSV(out_csv, ("file",) + tuple(scores.keys()))
-            first = False
         csv.append(counter, *[round(v, 5) for v in scores.values()])
+    if csv is None:  # no panels: still produce the (header-only) CSV
+        MetricsCSV(out_csv, ("file",))
     return out_csv

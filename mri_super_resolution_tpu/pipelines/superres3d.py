@@ -178,7 +178,10 @@ def run_patient(
 
         def one(hr_im, sr_im):
             hr_ref = max_normalize(hr_im)
-            spline = max_normalize(rescale(hr_im[::2, ::2], 2, anti_aliasing=True))
+            # odd ROI sides: rescale(., 2) of the ::2 grid yields
+            # 2*ceil(n/2) rows — crop back to the HR shape
+            up = rescale(hr_im[::2, ::2], 2, anti_aliasing=True)
+            spline = max_normalize(up[: hr_im.shape[0], : hr_im.shape[1]])
             sr_n = max_normalize(sr_im)
             return (
                 masked_ssim_protocol(hr_ref, spline),
@@ -229,11 +232,14 @@ def adc_maps(result: SR3DResult, cfg: SupperresDWIConfig, _slice: int):
     scale_b = result.maxes[:, cfg.te_index]
 
     recon_rescaled = result.recon_2x[:, :, _slice, :] * scale_b
+    Hs, Ws = recon_rescaled.shape[:2]
+    # odd ROI sides: rescale(., 4) of the ::2 grid overshoots the 2x HR
+    # shape by up to 2 rows/cols — crop to the recon grid
     spline = np.stack(
         [
             np.asarray(
                 rescale(jnp.asarray(result.mean_img[r0:r1:2, r0:r1:2, _slice, b]), 4, anti_aliasing=True)
-            )
+            )[:Hs, :Ws]
             * scale_b[b]
             for b in range(4)
         ],

@@ -71,7 +71,12 @@ class CheckpointManager:
     def save(self, step: int, tree: Any, metric: float | None = None, best_only: bool = False) -> bool:
         """Save at ``step``. With ``best_only`` the save is skipped unless
         ``metric`` improves on the stored best (training.py:183-187)."""
-        if best_only and metric is not None and metric <= self.best_metric:
+        if best_only and metric is None:
+            raise ValueError(
+                "best_only=True requires a metric: saving unconditionally "
+                "would rotate out the best checkpoints under max_to_keep"
+            )
+        if best_only and metric <= self.best_metric:
             return False
         if metric is not None and metric > self.best_metric:
             self.best_metric = float(metric)

@@ -71,8 +71,13 @@ def main():
     inits = [siren.init(jax.random.key(s), inputs[:8])
              for s in range(args.seeds)]
     n_real = coords.shape[0]
-    vag = make_fused_value_and_grad(siren, n_rows=n_real)
-    xin, tp = pad_rows_to(inputs, 512), pad_rows_to(target, 512)
+    if jax.default_backend() not in ("cpu",):
+        vag = make_fused_value_and_grad(siren, n_rows=n_real)
+        xin, tp = pad_rows_to(inputs, 512), pad_rows_to(target, 512)
+    else:  # CPU fallback: XLA autodiff (interpret-mode Pallas is ~100x slower);
+        # step-count statistics are what this sweep measures and they are
+        # backend-independent — wall seconds on CPU are NOT comparable to TPU
+        vag, xin, tp = None, inputs, target
 
     def one_fit(tx, sp):
         p = jax.tree.map(jnp.copy, sp)

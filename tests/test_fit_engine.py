@@ -285,6 +285,14 @@ class TestRestartAdam:
         assert restart_adam(1e-4, 100) is restart_adam(1e-4, 100)
         assert restart_adam(1e-4, 100) is not restart_adam(1e-4, 50)
 
+    def test_every_zero_means_disabled(self):
+        """every <= 0 is the config 'disabled' convention: plain Adam, not
+        a traced `step % 0`."""
+        from mri_super_resolution_tpu.fit.optim import cached_adam, restart_adam
+
+        assert restart_adam(1e-4, 0) is cached_adam(1e-4)
+        assert restart_adam(1e-4, -1) is cached_adam(1e-4)
+
     def test_resets_moments(self):
         """After `every` updates the inner Adam count must restart: the
         post-reset state equals a fresh optimizer fed the same gradient."""

@@ -23,6 +23,21 @@ class TestRegistration:
         out = _shift(shifted, s)
         np.testing.assert_allclose(out[8:56, 8:56], base[8:56, 8:56], atol=1e-12)
 
+    def test_masked_region_does_not_bias(self, rng):
+        """Unnormalized correlation is biased toward shifts overlapping
+        bright areas; Padfield normalization must recover the true offset
+        even when a large region of the moving frame is masked out."""
+        from mri_super_resolution_tpu.data.preprocessing import _shift
+
+        base = rng.uniform(0.0, 0.2, size=(64, 64))
+        base[10:26, 10:26] += 5.0  # bright block (e.g. cloud-free terrain)
+        shifted = np.roll(base, (2, 3), axis=(0, 1))
+        mask = np.ones_like(base)
+        mask[32:, :] = 0.0  # bottom half cloud-masked in the moving frame
+        s = _masked_translation(base, shifted, mask)
+        out = _shift(shifted, s)
+        np.testing.assert_allclose(out[8:24, 8:24], base[8:24, 8:24], atol=1e-12)
+
     def test_register_imgset_aligns(self, rng):
         base = rng.uniform(size=(32, 32))
         T = 4

@@ -74,6 +74,27 @@ class TestSuperres3D:
         assert np.all(maxes > 0)
 
 
+class TestOddROI:
+    def test_odd_roi_side(self):
+        """roi_end - roi_start odd: the spline arms rescale a ceil(n/2) grid
+        to 2*ceil(n/2) > n rows — both ssim_table and adc_maps must crop
+        back instead of raising a shape mismatch (VERDICT r3 review)."""
+        rng = np.random.default_rng(1)
+        b0 = np.abs(rng.normal(1.0, 0.3, size=(24, 24, 2))).astype(np.float32)
+        hybrid = synthetic.hybrid_from_b0(b0, acq_counts=(1, 2, 2, 2), seed=1)
+        bvalues = np.asarray([0.0, 150.0, 1000.0, 1500.0])
+        cfg = SupperresDWIConfig(
+            number_of_epochs=10, perturbation_epochs=2, hidden_dim=16,
+            num_layers=1, pn_dim=8, roi_start=4, roi_end=19, mapping_size=8,
+        )
+        result = superres3d.run_patient(hybrid, bvalues, cfg, seed=0)
+        sx = cfg.roi_end - cfg.roi_start
+        assert sx % 2 == 1
+        assert result.recon_2x.shape == (2 * sx, 2 * sx, 2, 4)
+        adc_sr, adc_sp, adc_hr = superres3d.adc_maps(result, cfg, _slice=0)
+        assert adc_sr.shape == adc_sp.shape == adc_hr.shape == (2 * sx, 2 * sx)
+
+
 class TestRestartOption:
     def test_run_patient_with_restarts(self, tiny_setup):
         """inr_restart_every routes the INR fit through restart_adam inside
