@@ -185,8 +185,9 @@ def fit_ensemble(
         acc2 = acc2 + apply_fn(params, eval_coords_scale)
         return (params, opt_state, acc1, acc2), loss
 
-    acc1 = jnp.zeros((eval_coords_1x.shape[0], 1))
-    acc2 = jnp.zeros((eval_coords_scale.shape[0], 1))
+    out_f = pixels.shape[-1]  # accumulator width = model output features
+    acc1 = jnp.zeros((eval_coords_1x.shape[0], out_f))
+    acc2 = jnp.zeros((eval_coords_scale.shape[0], out_f))
     (params, opt_state, acc1, acc2), tail_losses = jax.lax.scan(
         tail_step, (params, opt_state, acc1, acc2), None, length=seg
     )

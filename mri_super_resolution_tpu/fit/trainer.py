@@ -165,9 +165,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _batches(self, n: int, key) -> Iterator[np.ndarray]:
+        """Shuffled batches INCLUDING the ragged remainder (the reference's
+        tf.data .batch() keeps it, training.py:119; and a dataset smaller
+        than batch_size must yield one batch, not zero). The remainder shape
+        costs one extra jit executable, compiled once and reused."""
         perm = np.asarray(jax.random.permutation(key, n))
         bs = self.cfg.batch_size
-        for i in range(0, n - bs + 1, bs):
+        for i in range(0, n, bs):
             yield perm[i : i + bs]
 
     def fit(
@@ -256,9 +260,13 @@ class Trainer:
         self.log_rows.clear()
 
     def evaluate(self, x_val, y_val, mask_val) -> float:
-        losses, psnrs = [], []
+        """Sample-weighted val metrics over ALL samples (the ragged last
+        batch included — a val set smaller than batch_size previously
+        produced zero batches and a bogus 0.0 PSNR that poisoned best-only
+        checkpoint gating)."""
+        losses, psnrs, weights = [], [], []
         bs = self.cfg.batch_size
-        for i in range(0, len(x_val) - bs + 1, bs):
+        for i in range(0, len(x_val), bs):
             loss, psnr = self._test_step(
                 self.state.params,
                 jnp.asarray(x_val[i : i + bs]),
@@ -267,5 +275,8 @@ class Trainer:
             )
             losses.append(float(loss))
             psnrs.append(float(psnr))
-        self._last_val_loss = float(np.mean(losses)) if losses else 0.0
-        return float(np.mean(psnrs)) if psnrs else 0.0
+            weights.append(len(x_val[i : i + bs]))
+        if not losses:
+            raise ValueError("evaluate() called with an empty validation set")
+        self._last_val_loss = float(np.average(losses, weights=weights))
+        return float(np.average(psnrs, weights=weights))

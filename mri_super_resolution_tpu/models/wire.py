@@ -23,20 +23,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mri_super_resolution_tpu.models.siren import _dense, siren_first_init
+from mri_super_resolution_tpu.models.siren import (
+    _bias_for as _bias_init,  # torch nn.Linear default bias, shared w/ siren
+    _dense,
+    siren_first_init,
+)
 
 Array = jax.Array
-
-
-def _bias_init(fan_in: int):
-    """torch nn.Linear default bias init, U(+-1/sqrt(fan_in))."""
-    import numpy as np
-
-    def init(key, shape, dtype=jnp.float32):
-        bound = 1.0 / np.sqrt(fan_in)
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-    return init
 
 
 class ComplexDense(nn.Module):
@@ -83,8 +76,9 @@ class ComplexGaborLayer(nn.Module):
         if self.is_first or zi is None:
             lin = _dense(self.features, zr.shape[-1], siren_first_init())
             orth = _dense(self.features, zr.shape[-1], siren_first_init())
-            sr, si = lin(zr), jnp.zeros_like(lin(zr))
-            s2r, s2i = orth(zr), jnp.zeros((), zr.dtype)
+            sr = lin(zr)
+            si = jnp.zeros_like(sr)
+            s2r, s2i = orth(zr), jnp.zeros_like(sr)
             abs2 = sr * sr
             abs2_orth = s2r * s2r
         else:

@@ -120,7 +120,11 @@ def auto_erd(
     """Per-pixel acceptance mask (H, W, A), 1 = keep.
 
     mode 1: reject the minority cluster when the majority holds >= 2/3 of A.
-    mode 2: where ``erd_map > 0``, reject the higher-mean cluster.
+    mode 2: where ``erd_map > 0``, reject the LOWER-mean cluster
+            (master.py:88-93: when ``sample_means[k] > sample_means[1-k]``
+            the reference zeroes acceptance for ``labels == 1-k`` — motion
+            dropout makes outliers dark, so the dimmer cluster goes; note
+            SURVEY.md's one-line summary of this rule is inverted).
     mode 3: keep only the strictly larger cluster; on equal sizes keep all
             (the superres.ipynb cell-10 rule, used there with ward linkage).
     linkage: 'complete' (master.py:78) or 'ward' (superres.ipynb cell 10).
@@ -153,7 +157,8 @@ def auto_erd(
             raise ValueError("mode 2 requires erd_map")
         gate = (erd_map.reshape(-1, 1) > 0)
         higher_is_1 = mean1 > mean0
-        reject = jnp.where(higher_is_1, labels == 1, labels == 0)
+        # reject the lower-mean cluster (the one the reference zeroes)
+        reject = jnp.where(higher_is_1, labels == 0, labels == 1)
         accept = ~(gate & reject)
     elif mode == 3:
         keep1 = (len1 > len0) & (labels == 1)
@@ -197,10 +202,20 @@ def soft_erd_weights(
     """Per-acquisition loss weights (INR_ERD.py:222-236): raw ``exp(x/T)``
     where signal exceeds 2x noise, else uniform ``1/A``. Note the training
     weights are deliberately *unnormalised* exp (matching the reference),
-    unlike the softmax used for the mean image."""
+    unlike the softmax used for the mean image.
+
+    Overflow guard: where ``exp(x/T)`` would overflow float32 (x/T > ~88,
+    possible on raw scanner intensities with the temperature floored at 2)
+    the pixel falls back to a one-hot on the largest acquisition — the
+    reference's own ``except RuntimeWarning: w = onehot(x)`` fallback
+    (INR_ERD.py:229-232), which an inf weight (-> inf loss, NaN grads)
+    would otherwise bypass in f32."""
     A = acq.shape[-1]
     x_mean = acq.mean(axis=-1)
     temp = _soft_temperature(x_mean, b0, mul, slope)
-    w = jnp.exp(acq / temp[..., None])
+    z = acq / temp[..., None]
+    overflow = z.max(axis=-1, keepdims=True) > 80.0
+    onehot = (z == z.max(axis=-1, keepdims=True)).astype(acq.dtype)
+    w = jnp.where(overflow, onehot, jnp.exp(jnp.minimum(z, 80.0)))
     uniform = jnp.full_like(acq, 1.0 / A)
     return jnp.where((x_mean > 2.0 * noise_level)[..., None], w, uniform)

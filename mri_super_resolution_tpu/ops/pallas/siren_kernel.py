@@ -684,20 +684,43 @@ def make_fused_apply(model, compute_dtype=None, fast_sincos: bool = True) -> "ca
     from mri_super_resolution_tpu.models.siren import SirenERD, SirenToy
 
     omega = float(model.hidden_omega_0)
+    first_omega = float(getattr(model, "first_omega_0", omega))
     acts = acts_for_model(model)
+
+    # distinct first/hidden omega: fold the per-layer omega into the weights
+    # (sin(o*(xW+b)) == sin(x*(oW) + ob)) and run the kernel at omega=1 —
+    # the same folding make_fused_value_and_grad uses; silently applying the
+    # hidden omega to the first layer would be numerically wrong.
+    if first_omega != omega:
+        scales = tuple(
+            (first_omega if l == 0 else omega) if acts[l] == "sine" else 1.0
+            for l in range(len(acts))
+        )
+
+        def prep(ws):
+            return tuple(
+                w * scales[i // 2] if scales[i // 2] != 1.0 else w
+                for i, w in enumerate(ws)
+            )
+
+        kernel_omega = 1.0
+    else:
+        prep = tuple
+        kernel_omega = omega
 
     if isinstance(model, (SirenERD, SirenToy)) and model.perturb:
 
         def apply(params, coords, sample=0.0, eps=0.0):
             coords = coords + _perturb_delta(params, coords, sample, eps)
-            ws = tuple(weights_from_flax(params))
-            return siren_fused(coords, ws, omega, compute_dtype, acts, fast_sincos)
+            ws = prep(weights_from_flax(params))
+            return siren_fused(coords, ws, kernel_omega, compute_dtype, acts,
+                               fast_sincos)
 
         return apply
 
     def apply(params, x, **_):
-        ws = tuple(weights_from_flax(params))
-        return siren_fused(x, ws, omega, compute_dtype, acts, fast_sincos)
+        ws = prep(weights_from_flax(params))
+        return siren_fused(x, ws, kernel_omega, compute_dtype, acts, fast_sincos)
 
     return apply
 

@@ -380,9 +380,15 @@ def wire_grads_to_flax(dws: Sequence[Array], template, n_hidden: int) -> dict:
     return g
 
 
+@functools.lru_cache(maxsize=None)
 def make_wire_fused_apply(model, compute_dtype=None):
     """Inference-path fused forward for ``models.Wire`` (no gradient flow —
-    training uses :func:`make_wire_value_and_grad`)."""
+    training uses :func:`make_wire_value_and_grad`).
+
+    lru_cached for identity stability: fit-engine entry points take
+    apply_fn as a jit STATIC argument keyed by object identity (see
+    fit/optim.py) — a fresh closure per case would retrace + reload the
+    executable per case."""
     n_hidden = model.hidden_layers
 
     def apply(params, x):

@@ -38,6 +38,8 @@ def make_sharded_fit(
     mesh: Mesh,
     num_steps: int,
     value_and_grad_fn: Callable | None = None,
+    n_rows: int | None = None,
+    weighted_value_and_grad_fn: Callable | None = None,
 ):
     """Compile a data-parallel full-batch fit over ``mesh``.
 
@@ -53,9 +55,24 @@ def make_sharded_fit(
     every chip runs the kernel on its voxel shard and the loss/grads are
     pmean'd over ICI — exact, because shard_batch guarantees equal shard
     sizes, so the mean-of-local-means IS the global mean.
+
+    ``n_rows``: real (unpadded) voxel count. When the batch was padded with
+    mesh.pad_to_multiple so the voxel axis divides the mesh, the padded rows
+    carry coordinate 0 / target 0 — training on them would pull the INR
+    toward 0 at the volume centre. With ``n_rows`` set, padded rows are
+    masked out of the loss and gradient exactly (the reported loss is the
+    MSE over real rows). The kernel route then needs the WEIGHTED kernel:
+    pass ``weighted_value_and_grad_fn`` built with
+    siren_kernel.make_fused_weighted_value_and_grad (without ``n_rows``).
     """
     replicated = NamedSharding(mesh, P())
     vox_sharded = NamedSharding(mesh, P("data"))
+
+    if n_rows is not None and value_and_grad_fn is not None:
+        raise ValueError(
+            "with n_rows set, use weighted_value_and_grad_fn (the padded "
+            "rows ride the weight mask through the weighted kernel)"
+        )
 
     if value_and_grad_fn is not None:
         local_vag = functools.partial(
@@ -69,6 +86,19 @@ def make_sharded_fit(
                 jax.lax.pmean(v, "data") for v in value_and_grad_fn(p, c, t)
             )
         )
+    elif weighted_value_and_grad_fn is not None:
+        local_vag = functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P("data")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(
+            lambda p, c, t, w: tuple(
+                jax.lax.pmean(v, "data")
+                for v in weighted_value_and_grad_fn(p, c, t, w)
+            )
+        )
     else:
         local_vag = None
 
@@ -80,14 +110,29 @@ def make_sharded_fit(
     )
     def fit(params, coords, target):
         opt_state = tx.init(params)
+        P_total = coords.shape[0]
+        if n_rows is not None:
+            mask = (jnp.arange(P_total)[:, None] < n_rows).astype(target.dtype)
+            # weighted_mse divides by the PADDED element count; rescale so
+            # the loss (and grads) equal the exact MSE over real rows
+            rescale = P_total / n_rows
+        else:
+            mask = None
 
         def step(carry, _):
             params, opt_state = carry
 
             def loss_fn(p):
-                return mse(apply_fn(p, coords), target)
+                pred = apply_fn(p, coords)
+                if mask is None:
+                    return mse(pred, target)
+                return rescale * jnp.mean(mask * (pred - target) ** 2)
 
-            if local_vag is not None:
+            if local_vag is not None and mask is not None:
+                loss, grads = local_vag(params, coords, target, mask)
+                loss = rescale * loss
+                grads = jax.tree.map(lambda g: rescale * g, grads)
+            elif local_vag is not None:
                 loss, grads = local_vag(params, coords, target)
             else:
                 loss, grads = jax.value_and_grad(loss_fn)(params)

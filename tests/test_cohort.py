@@ -88,3 +88,51 @@ class TestShardedFitKernelRoute:
             jax.tree_util.tree_leaves(res_b.params),
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+class TestShardedFitPaddedRows:
+    def test_n_rows_masks_padding(self):
+        """A batch padded to divide the mesh must train identically to the
+        unpadded batch on a 1-device mesh: n_rows masks the zero-coordinate
+        pad rows out of loss AND gradient (VERDICT r3 review)."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from mri_super_resolution_tpu.core.coords import mgrid
+        from mri_super_resolution_tpu.models import Siren
+        from mri_super_resolution_tpu.parallel import (
+            make_mesh, make_sharded_fit, pad_to_multiple, shard_batch)
+
+        model = Siren(hidden_features=32, hidden_layers=1)
+        coords = mgrid((13, 13))  # 169 rows: does NOT divide 8
+        target = jnp.sin(2.0 * coords[:, :1]) * jnp.cos(coords[:, 1:2])
+        params = model.init(jax.random.key(0), coords[:4])
+        tx = optax.adam(1e-3)
+        steps = 5
+
+        mesh1 = make_mesh(case=1, devices=jax.devices()[:1])
+        fit_ref = make_sharded_fit(model.apply, tx, mesh1, num_steps=steps)
+        res_ref = fit_ref(
+            jax.tree_util.tree_map(jnp.copy, params),
+            shard_batch(coords, mesh1), shard_batch(target, mesh1),
+        )
+
+        mesh8 = make_mesh(case=1)
+        cpad, n = pad_to_multiple(coords, 8)
+        tpad, _ = pad_to_multiple(target, 8)
+        fit_pad = make_sharded_fit(
+            model.apply, tx, mesh8, num_steps=steps, n_rows=n)
+        res_pad = fit_pad(
+            params, shard_batch(cpad, mesh8), shard_batch(tpad, mesh8))
+
+        np.testing.assert_allclose(
+            np.asarray(res_ref.losses), np.asarray(res_pad.losses),
+            rtol=1e-5, atol=1e-7,
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(res_ref.params),
+            jax.tree_util.tree_leaves(res_pad.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)

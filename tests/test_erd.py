@@ -92,7 +92,9 @@ class TestAutoERD:
         accept = np.asarray(auto_erd(jnp.asarray(img), mode=1))
         assert accept.sum() == 9
 
-    def test_mode2_rejects_higher_cluster_only_where_erd_positive(self, rng):
+    def test_mode2_rejects_lower_cluster_only_where_erd_positive(self, rng):
+        """master.py:88-93: where erd_map > 0, the reference zeroes the
+        LOWER-mean cluster (motion dropout darkens outliers)."""
         H, W, A = 2, 2, 6
         img = np.ones((H, W, A), dtype=np.float32)
         img[..., :2] = 3.0  # bright cluster
@@ -100,9 +102,35 @@ class TestAutoERD:
         erd_map = np.zeros((H, W), dtype=np.float32)
         erd_map[0, 0] = 1.0
         accept = np.asarray(auto_erd(jnp.asarray(img), jnp.asarray(erd_map), mode=2))
-        assert (accept[0, 0, :2] == 0).all()  # higher-mean cluster rejected
-        assert (accept[0, 0, 2:] == 1).all()
+        assert (accept[0, 0, :2] == 1).all()  # higher-mean cluster kept
+        assert (accept[0, 0, 2:] == 0).all()  # lower-mean cluster rejected
         assert accept[0, 1].sum() == A  # untouched where erd == 0
+
+
+    def test_mode2_matches_reference_loop(self, rng):
+        """Statement-level transcription of master.py:85-93 (sklearn
+        clustering + the sample_means comparison) vs the vectorised op."""
+        from sklearn.cluster import AgglomerativeClustering
+
+        H, W, A = 5, 5, 9
+        img = rng.uniform(0.2, 1.0, size=(H, W, A)).astype(np.float32)
+        erd_map = (rng.uniform(size=(H, W)) > 0.5).astype(np.float32)
+        expected = np.ones((H, W, A))
+        inx = np.arange(A)
+        for i in range(H):
+            for j in range(W):
+                acq = img[i, j, :].reshape(-1, 1)
+                db = AgglomerativeClustering(
+                    n_clusters=2, linkage="complete").fit(acq)
+                sample_means = [acq[db.labels_ == x].mean()
+                                for x in set(db.labels_)]
+                if erd_map[i, j] > 0:
+                    for k in range(2):
+                        if sample_means[k] > sample_means[1 - k]:
+                            expected[i, j, inx[db.labels_ == (1 - k)]] = 0
+        accept = np.asarray(
+            auto_erd(jnp.asarray(img), jnp.asarray(erd_map), mode=2))
+        np.testing.assert_array_equal(accept, expected)
 
 
 class TestSoftERD:
@@ -111,6 +139,21 @@ class TestSoftERD:
         acq = rng.uniform(0.5, 1.0, size=(H, W, A)).astype(np.float32)
         b0 = rng.uniform(1.0, 2.0, size=(H, W)).astype(np.float32)
         return acq, b0
+
+    def test_weights_overflow_falls_back_to_onehot(self, rng):
+        """Raw-intensity inputs with temp floored at 2 would make exp(x/T)
+        inf in f32; the reference's onehot fallback must kick in instead."""
+        H, W, A = 2, 2, 5
+        acq = rng.uniform(300.0, 400.0, size=(H, W, A)).astype(np.float32)
+        b0 = rng.uniform(800.0, 1000.0, size=(H, W)).astype(np.float32)
+        w = np.asarray(soft_erd_weights(
+            jnp.asarray(acq), jnp.asarray(b0), jnp.asarray(0.1)))
+        assert np.isfinite(w).all()
+        for i in range(H):
+            for j in range(W):
+                expected = np.zeros(A)
+                expected[np.argmax(acq[i, j])] = 1.0
+                np.testing.assert_array_equal(w[i, j], expected)
 
     def test_mean_matches_reference_loop(self, rng):
         acq, b0 = self._setup(rng)

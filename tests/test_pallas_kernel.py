@@ -157,6 +157,21 @@ class TestSirenERDKernel:
                 err_msg=f"sample={sample} eps={eps}",
             )
 
+    def test_fused_apply_distinct_omegas(self):
+        """first_omega_0 != hidden_omega_0 rides the fold-omega path — the
+        kernel forward must still match flax (previously it silently used
+        the hidden omega for the first layer)."""
+        from mri_super_resolution_tpu.models import Siren
+
+        model = Siren(hidden_features=32, hidden_layers=2,
+                      first_omega_0=30.0, hidden_omega_0=1.0)
+        x = jnp.asarray(
+            np.random.default_rng(5).uniform(-1, 1, size=(64, 2)).astype(np.float32))
+        params = model.init(jax.random.key(2), x)
+        out = make_fused_apply(model)(params, x)
+        ref = model.apply(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
     def test_fused_apply_gradients(self, erd_setup):
         """Weighted-MSE grads through the kernel apply (the phase-2 loss shape)
         must match flax — including the perturb branch via the kernel's dx."""
