@@ -142,9 +142,20 @@ def main():
     res = fit(params, c, t)
     jax.block_until_ready(res.losses)
 
+    # count the all-reduces XLA inserted for the voxel-sharded gradient
+    # (the docstring's third promise — shardings are inferred from the
+    # sharded operands, so the lowered HLO is the production partitioning)
+    from mri_super_resolution_tpu.fit.losses import mse
+
+    def grad_step(p, cc, tt):
+        return jax.value_and_grad(lambda q: mse(model.apply(q, cc), tt))(p)[1]
+
+    n_allreduce = count_collectives(grad_step, params, c, t)
+
     out = {
         "n_virtual_devices": N_DEV,
         "note": "virtual CPU mesh: validates sharding/collectives, not speedup",
+        "grad_allreduce_count": n_allreduce,
         "voxel_dp_strong_scaling": voxel_dp_strong_scaling(devices),
         "cohort_weak_scaling": cohort_weak_scaling(devices),
     }

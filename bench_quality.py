@@ -88,7 +88,13 @@ def main():
             elapsed += time.perf_counter() - t0
             p, ostate = res.params, res.opt_state
             done += args.chunk
-            psnr = 10.0 * np.log10(data_range**2 / loss)
+            # NaN-diverged or exactly-zero losses must not produce NaN/inf
+            # (NaN is not a valid JSON token downstream)
+            if not np.isfinite(loss):
+                psnr = float("-inf")  # diverged: no target will be reached
+                loss = float("nan")
+            else:
+                psnr = 10.0 * np.log10(data_range**2 / max(loss, 1e-30))
             for t in TARGETS:
                 if t not in results and psnr >= t:
                     results[t] = (elapsed, done)

@@ -83,7 +83,11 @@ def main(argv=None):
         pn_tx = optax.adam(1e-6)
         while done < args.epochs:
             chunk = min(args.snapshot_every, args.epochs - done)
-            if done + chunk <= args.mean_epochs:
+            if done < args.mean_epochs:
+                # clip the chunk at the phase boundary so the mean phase
+                # runs EXACTLY mean_epochs steps (a chunk straddling the
+                # boundary used to flip whole to alternating early)
+                chunk = min(chunk, args.mean_epochs - done)
                 res = fit_simple(inr.apply, tx, params, ff, target, chunk,
                                  opt_state=opt_state)
                 params, opt_state = res.params, res.opt_state

@@ -28,7 +28,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(
         description="Superresolution of DWI/ADC maps with Multi-image SR"
     )
-    p.add_argument("--out_folder", default="experiments.mi/")
+    # (no --out_folder: the reference MISR master.py:29-68 emits only
+    # DICOMs, no experiment CSVs — a dead flag here implied otherwise)
     p.add_argument("--out_img_folder", default="output_images.mi/")
     p.add_argument("--exp_name", default="sr2")
     p.add_argument("--ckpt", default=None, help="orbax checkpoint of RAMS params")

@@ -64,6 +64,8 @@ def main(argv=None):
             D, T2, v = pia_train.predict_maps(model, params, signals)
             np.savez(args.maps_out, D=np.asarray(D), T2=np.asarray(T2), v=np.asarray(v))
             print(f"maps written to {args.maps_out}")
+    elif args.maps_out:
+        p.error("--maps_out needs voxel signals: pass --finetune_hybrid too")
 
     save_pytree(os.path.abspath(args.out), params)
     print(f"saved {args.out}")

@@ -33,7 +33,7 @@ def main(argv=None):
                         "acquisitions (noise independent of both arms)")
     args = p.parse_args(argv)
 
-    from inr_erd import build_cases
+    from cli.inr_erd import build_cases
 
     from mri_super_resolution_tpu.pipelines import lowres_qual
 

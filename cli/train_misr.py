@@ -41,9 +41,9 @@ def build_dataset(
     data_dir = os.environ.get("MRI_SR_DATA_DIR", "/root/reference/anon_data")
     lr_size = hr_size // scale
 
-    X, Y = [], []
+    X, Y, pids = [], [], []
     rows = available_patients(data_dir)[:limit_patients]
-    for row in rows:
+    for pi, row in enumerate(rows):
         pt_no = row["pt_id"].split("-")[-1]
         vol = np.asarray(
             load_mat(os.path.join(data_dir, f"pat{pt_no}_mean_b0.mat"), "data_mean_b0"),
@@ -67,10 +67,27 @@ def build_dataset(
                 )[:, :, 0, :] * 256.0
                 X.append(stack.astype(np.float32))
                 Y.append(hr[..., None].astype(np.float32))
+                pids.append(pi)
     X = np.stack(X)
     Y = np.stack(Y)
     masks = np.ones_like(Y)
-    return X, Y, masks
+    return X, Y, masks, np.asarray(pids)
+
+
+def split_dataset(X, Y, M, pids, holdout_patients: int = 1):
+    """Patient-held-out train/val split.
+
+    The original sequential split (val = first 10% of patches in generation
+    order) leaked: val patches came from the same patients — and at the
+    boundary the same slice — as train crops, inflating val cPSNR. Holding
+    out whole patients makes validation measure generalisation to unseen
+    anatomy. scripts/rams_anchor.py keeps the sequential split for
+    comparability with the committed artifact's historical anchor.
+    """
+    val_ids = set(np.unique(pids)[-holdout_patients:].tolist())
+    v = np.asarray([p in val_ids for p in pids])
+    t = ~v
+    return (X[t], Y[t], M[t]), (X[v], Y[v], M[v])
 
 
 def main(argv=None):
@@ -86,16 +103,26 @@ def main(argv=None):
     p.add_argument("--ckpt_dir", default="artifacts/rams_dwi")
     p.add_argument("--data_aug", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--split", choices=("patient", "sequential"), default="patient",
+                   help="patient: hold out whole patients for val (no leak); "
+                   "sequential: the historical first-10%%-of-patches split "
+                   "(kept for comparability with the committed anchor)")
+    p.add_argument("--holdout_patients", type=int, default=1)
     args = p.parse_args(argv)
 
-    X, Y, M = build_dataset(
+    X, Y, M, pids = build_dataset(
         hr_size=args.hr_size, limit_patients=args.limit_patients,
         patches_per_slice=args.patches_per_slice, seed=args.seed,
     )
-    n_val = max(args.batch_size, len(X) // 10)
-    Xt, Yt, Mt = X[n_val:], Y[n_val:], M[n_val:]
-    Xv, Yv, Mv = X[:n_val], Y[:n_val], M[:n_val]
-    print(f"dataset: {len(Xt)} train / {len(Xv)} val patches, LR {Xt.shape[1:]} HR {Yt.shape[1:]}")
+    if args.split == "patient":
+        (Xt, Yt, Mt), (Xv, Yv, Mv) = split_dataset(
+            X, Y, M, pids, holdout_patients=args.holdout_patients)
+    else:
+        n_val = max(args.batch_size, len(X) // 10)
+        Xt, Yt, Mt = X[n_val:], Y[n_val:], M[n_val:]
+        Xv, Yv, Mv = X[:n_val], Y[:n_val], M[:n_val]
+    print(f"dataset: {len(Xt)} train / {len(Xv)} val patches ({args.split} split), "
+          f"LR {Xt.shape[1:]} HR {Yt.shape[1:]}")
 
     model = build_rams(RAMSConfig(filters=args.filters, N=args.N))
     cfg = TrainerConfig(

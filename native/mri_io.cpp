@@ -66,7 +66,10 @@ uint32_t rd32(const uint8_t* p) {
   return v;
 }
 
-// Read one tag; returns (type, size, data_ptr, advance). Handles small-element format.
+// Read one tag; returns (type, size, data_ptr, advance). Handles small-element
+// format. The declared payload size is validated against the remaining buffer
+// so a truncated/corrupt file fails the parse instead of reading out of
+// bounds (the declared size is attacker/corruption-controlled data).
 bool read_tag(Cursor& c, uint32_t& type, uint32_t& size, const uint8_t*& data,
               size_t& advance) {
   if (c.left() < 8) return false;
@@ -74,11 +77,13 @@ bool read_tag(Cursor& c, uint32_t& type, uint32_t& size, const uint8_t*& data,
   if (t >> 16) {  // small element: size in upper 16 bits of the type word
     size = t >> 16;
     type = t & 0xffff;
+    if (size > 4) return false;  // small-element payload lives in the tag
     data = c.at() + 4;
     advance = 8;
   } else {
     type = t;
     size = rd32(c.at() + 4);
+    if (size > c.left() - 8) return false;  // payload overruns the buffer
     data = c.at() + 8;
     advance = 8 + ((size + 7) / 8) * 8;  // payload padded to 8 bytes
   }
@@ -125,6 +130,7 @@ bool parse_matrix(const uint8_t* p, size_t n, const std::string& forced_name,
   if (type != miUINT32 || size < 8) return false;
   uint32_t flags = rd32(data);
   uint32_t cls = flags & 0xff;
+  bool is_complex = (flags & 0x0800) != 0;
   c.off += adv;
 
   // dimensions
@@ -168,6 +174,13 @@ bool parse_matrix(const uint8_t* p, size_t n, const std::string& forced_name,
              std::to_string(cls) +
              (cls == mxCHAR_CLASS ? " char" : " struct/object") +
              " unsupported by the native reader; scipy path handles it); ";
+    return false;
+  }
+  if (is_complex) {
+    // returning only the real part would silently drop k-space/coil phase
+    notes += "skipped variable '" + name +
+             "' (complex arrays unsupported by the native reader; "
+             "scipy path handles them); ";
     return false;
   }
 
@@ -338,9 +351,18 @@ struct Pool {
         std::lock_guard<std::mutex> l(g_mu);
         slot = g_handles[job.first];
       }
-      slot->ok = load_mat(job.second, slot->arrays, slot->err, slot->notes);
+      // decode into locals so every write to the shared slot happens under
+      // g_mu — accessors read ok/arrays under the same mutex, and unlocked
+      // writes here raced with them (UB on a partially-built vector)
+      std::vector<Array> arrays;
+      std::string err, notes;
+      bool ok = load_mat(job.second, arrays, err, notes);
       {
         std::lock_guard<std::mutex> l(g_mu);
+        slot->arrays = std::move(arrays);
+        slot->err = std::move(err);
+        slot->notes = std::move(notes);
+        slot->ok = ok;
         slot->done = true;
       }
     }

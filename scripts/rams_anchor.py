@@ -34,7 +34,7 @@ def main():
     from mri_super_resolution_tpu.ops.shift_metrics import shift_psnr
     from mri_super_resolution_tpu.pipelines.misr import build_rams
 
-    X, Y, M = build_dataset(seed=0)
+    X, Y, M, _ = build_dataset(seed=0)  # historical sequential split (anchor comparability)
     n_val = max(8, len(X) // 10)
     Xv, Yv, Mv = X[:n_val], Y[:n_val], M[:n_val]
     print(f"val set: {len(Xv)} patches, LR {Xv.shape[1:]}, HR {Yv.shape[1:]}")

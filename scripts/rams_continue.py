@@ -40,7 +40,7 @@ def main():
     from mri_super_resolution_tpu.pipelines.misr import build_rams
     from mri_super_resolution_tpu.utils import restore_pytree, save_pytree
 
-    X, Y, M = build_dataset(seed=0, patches_per_slice=args.patches_per_slice)
+    X, Y, M, _ = build_dataset(seed=0, patches_per_slice=args.patches_per_slice)  # historical split
     n_val = max(8, len(X) // 10)
     Xv, Yv, Mv = X[:n_val], Y[:n_val], M[:n_val]
     Xt, Yt, Mt = X[n_val:], Y[n_val:], M[n_val:]

@@ -36,7 +36,7 @@ def main():
     from mri_super_resolution_tpu.fit.trainer import Trainer
     from mri_super_resolution_tpu.pipelines.misr import build_rams
 
-    X, Y, M = build_dataset(seed=0)
+    X, Y, M, _ = build_dataset(seed=0)  # historical sequential split (anchor comparability)
     n_val = max(8, len(X) // 10)
     Xv, Yv, Mv = X[:n_val], Y[:n_val], M[:n_val]
     Xt, Yt, Mt = X[n_val:], Y[n_val:], M[n_val:]

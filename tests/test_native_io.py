@@ -51,6 +51,37 @@ class TestNativeLoader:
         with pytest.raises(RuntimeError):
             native_io.load_mat_native("/nonexistent/file.mat")
 
+    def test_truncated_file_fails_cleanly(self, tmp_path):
+        """Corrupt/truncated payload sizes must error, not read out of
+        bounds: the declared tag size is untrusted data."""
+        import scipy.io as sio
+
+        arr = np.arange(4096, dtype=np.float64).reshape(64, 64)
+        path = str(tmp_path / "t.mat")
+        sio.savemat(path, {"m": arr}, do_compression=False)
+        raw = bytearray(open(path, "rb").read())
+        truncated = str(tmp_path / "trunc.mat")
+        open(truncated, "wb").write(bytes(raw[: 128 + 64]))  # cut mid-element
+        with pytest.raises(RuntimeError):
+            native_io.load_mat_native(truncated, "m")
+        # declared size far beyond the buffer (forged length field)
+        forged = bytearray(raw)
+        # miMATRIX tag right after the 128-byte header: blow up its size
+        forged[132:136] = (0x7FFFFFF0).to_bytes(4, "little")
+        fpath = str(tmp_path / "forged.mat")
+        open(fpath, "wb").write(bytes(forged))
+        with pytest.raises(RuntimeError):
+            native_io.load_mat_native(fpath, "m")
+
+    def test_complex_variable_skipped_with_note(self, tmp_path):
+        import scipy.io as sio
+
+        z = (np.arange(6) + 1j * np.arange(6)).reshape(2, 3)
+        path = str(tmp_path / "c.mat")
+        sio.savemat(path, {"z": z})
+        with pytest.raises(RuntimeError):
+            native_io.load_mat_native(path, "z")
+
 
 class TestPrefetcher:
     def test_pool_returns_all(self):
