@@ -40,8 +40,9 @@ def main(argv=None):
                    help="INR learning rate (inrDWI.py clean-data variant uses 5e-5)")
     p.add_argument("--inr_restart_every", type=int, default=0,
                    help="periodic Adam-moment restarts for the INR fit "
-                        "(0 = reference flat Adam; 100 measured faster to "
-                        "target AND a higher final plateau — see fit/optim.py)")
+                        "(0 = reference flat Adam; 100 measured faster "
+                        "time-to-PSNR — see fit/optim.py for the evidence "
+                        "and its caveats)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="SR_results")
     args = p.parse_args(argv)

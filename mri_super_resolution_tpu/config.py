@@ -49,9 +49,9 @@ class SupperresDWIConfig:
     te_index: int = 1  # TE=70ms column used for rescaling outputs
     use_pallas: bool = True  # fused SIREN kernel on TPU (31% faster step)
     # >0 switches the INR optimizer to restart_adam(inr_lr, every): periodic
-    # Adam-moment restarts measure both faster time-to-PSNR and a higher
-    # final plateau than the reference's flat Adam on this fit (fit/optim.py
-    # rationale; results/round3_flagship/fast_fit.json). 0 = reference flat.
+    # Adam-moment restarts measure faster time-to-PSNR than the reference's
+    # flat Adam on this fit (fit/optim.py rationale and caveats;
+    # results/round3_flagship/time_to_psnr.jsonl). 0 = reference flat.
     inr_restart_every: int = 0
 
 

@@ -36,12 +36,16 @@ def restart_adam(learning_rate: float, every: int) -> optax.GradientTransformati
     Every ``every`` steps the inner Adam state — first/second moments AND
     bias-correction count — is reset to zero. On full-batch INR fits the
     reset briefly re-inflates the effective step (fresh bias correction) and
-    discards stale second-moment scales, which measures as BOTH faster
-    time-to-PSNR and a higher final plateau than flat Adam on the flagship
-    3-D fit: 40 dB in 600 vs 1100 steps and a 71.2 vs 53.8 dB final at
-    lr=1e-4/every=100 (results/round3_flagship/fast_fit.json; discovered via
-    the round-1 bench protocol, whose per-chunk ``tx.init`` was resetting
-    state every 100 steps by accident and outperforming the continuous fit).
+    discards stale second-moment scales, which measures as faster
+    time-to-PSNR than flat Adam on the flagship 3-D fit: 40 dB in 600 vs
+    1100 steps at lr=1e-4/every=100 (results/round3_flagship/
+    time_to_psnr.jsonl; discovered via the round-1 bench protocol, whose
+    per-chunk ``tx.init`` was resetting state every 100 steps by accident
+    and outperforming the continuous fit). Single-run FINAL PSNR on these
+    near-interpolating fits is Adam-chaotic (>10 dB spread between identical
+    reruns), so the plateau advantage (71 vs 50 dB in the recorded runs) is
+    indicative, not a calibrated claim; steps-to-target is the stable
+    statistic (multi-seed protocol in scripts/fast_fit_exp.py).
 
     The reset happens inside ``update`` via a counter carried in the state,
     so the schedule works unchanged inside ``lax.scan`` fit loops.
