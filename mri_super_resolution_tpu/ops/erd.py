@@ -204,12 +204,15 @@ def soft_erd_weights(
     weights are deliberately *unnormalised* exp (matching the reference),
     unlike the softmax used for the mean image.
 
-    Overflow guard: where ``exp(x/T)`` would overflow float32 (x/T > ~88,
-    possible on raw scanner intensities with the temperature floored at 2)
-    the pixel falls back to a one-hot on the largest acquisition — the
-    reference's own ``except RuntimeWarning: w = onehot(x)`` fallback
-    (INR_ERD.py:229-232), which an inf weight (-> inf loss, NaN grads)
-    would otherwise bypass in f32."""
+    Overflow guard (documented deviation): where ``exp(x/T)`` would overflow
+    float32 (x/T > ~88, possible on raw scanner intensities with the
+    temperature floored at 2) the pixel falls back to a one-hot on the
+    largest acquisition. The reference WROTE this fallback
+    (``except RuntimeWarning: w = onehot(x)``, INR_ERD.py:229-232) but under
+    default numpy settings exp overflow only warns — the handler is dead
+    code and the reference actually produces inf weights (-> inf loss, NaN
+    grads). We implement the fallback the reference intended rather than
+    the inf it ships."""
     A = acq.shape[-1]
     x_mean = acq.mean(axis=-1)
     temp = _soft_temperature(x_mean, b0, mul, slope)

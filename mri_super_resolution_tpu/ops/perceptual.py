@@ -67,11 +67,18 @@ def _avg_kernel(F: int) -> np.ndarray:
     return np.ones((F, F)) / (F * F)
 
 
+def _matlab_round(x: float) -> int:
+    """MATLAB round(): half away from zero. Python's round() is banker's
+    (half to even) — at min-dimension 640, 640/256 = 2.5 gives MATLAB F=3
+    but Python F=2, changing the downsampled grid and the scores."""
+    return int(np.floor(x + 0.5)) if x >= 0 else -int(np.floor(-x + 0.5))
+
+
 def _downsample_pair(y1: np.ndarray, y2: np.ndarray):
     """Common FSIM/SR-SIM preprocessing: average-filter + stride-F subsample
     with F = max(1, round(min(rows, cols)/256))."""
     rows, cols = y1.shape
-    F = max(1, int(round(min(rows, cols) / 256)))
+    F = max(1, _matlab_round(min(rows, cols) / 256))
     if F > 1:
         k = _avg_kernel(F)
         y1 = _conv2_same(y1, k)[::F, ::F]
@@ -373,21 +380,35 @@ def score_panel(HR: np.ndarray, interp: np.ndarray, SR: np.ndarray) -> dict:
     pow_inter = np.sum(h_in**2)
     power_diff = np.sum(np.maximum(h_sr - h_in, 0) ** 2)
 
-    def ssim255(x, y):
-        return float(_ssim_skimage(jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32), data_range=255.0))
+    def _ssim(x, y, L):
+        return float(_ssim_skimage(jnp.asarray(x, jnp.float32),
+                                   jnp.asarray(y, jnp.float32), data_range=L))
 
+    # MATLAB quirk replicated: ssim/multissim derive their dynamic range
+    # from the array CLASS — uint8 panels get L=255, but HPF.m returns
+    # single, whose class range is [0,1], so the HPF'd comparisons run at
+    # L=1 even though the filtered values span ~hundreds (the stabilizing
+    # constants become negligible). perceptual_similarity.m:50-54.
     return {
         "HF_power": power_diff / pow_inter,
-        "SSIM_interp": ssim255(interp, HR),
-        "SSIM_SR": ssim255(SR, HR),
-        "SSIM_HPF_interp": ssim255(h_in, h_hr),
-        "SSIM_HPF_SR": ssim255(h_sr, h_hr),
+        "SSIM_interp": _ssim(interp, HR, 255.0),
+        "SSIM_SR": _ssim(SR, HR, 255.0),
+        "SSIM_HPF_interp": _ssim(h_in, h_hr, 1.0),
+        "SSIM_HPF_SR": _ssim(h_sr, h_hr, 1.0),
         "MSE_interp": immse(interp, HR),
         "MSE_SR": immse(SR, HR),
+        "MSE_HPF_interp": immse(h_in, h_hr),
+        "MSE_HPF_SR": immse(h_sr, h_hr),
         "MULTISSIM_interp": ms_ssim(interp, HR),
         "MULTISSIM_SR": ms_ssim(SR, HR),
+        "MULTISSIM_HPF_interp": ms_ssim(h_in, h_hr, data_range=1.0),
+        "MULTISSIM_HPF_SR": ms_ssim(h_sr, h_hr, data_range=1.0),
         "FSIM_interp": fsim(interp, HR),
         "FSIM_SR": fsim(SR, HR),
+        "FSIM_HPF_interp": fsim(h_in, h_hr),
+        "FSIM_HPF_SR": fsim(h_sr, h_hr),
         "SR_SIM_interp": sr_sim(interp, HR),
         "SR_SIM_SR": sr_sim(SR, HR),
+        "SR_SIM_HPF_interp": sr_sim(h_in, h_hr),
+        "SR_SIM_HPF_SR": sr_sim(h_sr, h_hr),
     }

@@ -237,7 +237,9 @@ def fsim(imageRef, imageDis):
     Y2 = np.asarray(imageDis, dtype=np.float64)
     rows, cols = Y1.shape
     minDimension = min(rows, cols)
-    F = max(1, int(round(minDimension / 256)))
+    # MATLAB round(): half away from zero (np.floor(x+0.5)), NOT Python's
+    # banker's rounding — diverges at e.g. minDimension 640 (2.5 -> 3 vs 2)
+    F = max(1, int(np.floor(minDimension / 256 + 0.5)))
     aveKernel = fspecial_average(F)
     Y1 = conv2_same(Y1, aveKernel)[::F, ::F]
     Y2 = conv2_same(Y2, aveKernel)[::F, ::F]
@@ -279,7 +281,7 @@ def sr_sim(image1, image2):
     Y1 = np.asarray(image1, dtype=np.float64)
     Y2 = np.asarray(image2, dtype=np.float64)
     rows, cols = Y1.shape
-    F = max(1, int(round(min(rows, cols) / 256)))
+    F = max(1, int(np.floor(min(rows, cols) / 256 + 0.5)))  # MATLAB round()
     aveKernel = fspecial_average(F)
     Y1 = conv2_same(Y1, aveKernel)[::F, ::F]
     Y2 = conv2_same(Y2, aveKernel)[::F, ::F]

@@ -82,7 +82,9 @@ class TestAutoERD:
         assert accept.shape == (H, W, A)
         assert accept[1, 2, 3] == 0 and accept[1, 2, 7] == 0
         assert accept[1, 2].sum() == A - 2
-        assert accept[0, 0].sum() in (A, A - np.count_nonzero(accept[0, 0] == 0))
+        # clean pixels: mode 1 can only reject a minority when the majority
+        # holds >= 2/3 A, so at least ceil(2/3 A) acquisitions survive
+        assert accept[0, 0].sum() >= int(np.ceil(2 * A / 3))
 
     def test_mode1_no_rejection_when_balanced(self, rng):
         # 5 low / 4 high: majority 5 < 2/3*9 = 6, so nothing rejected
@@ -142,7 +144,10 @@ class TestSoftERD:
 
     def test_weights_overflow_falls_back_to_onehot(self, rng):
         """Raw-intensity inputs with temp floored at 2 would make exp(x/T)
-        inf in f32; the reference's onehot fallback must kick in instead."""
+        inf in f32; the onehot fallback the reference INTENDED (its
+        RuntimeWarning handler is dead code — numpy warns, not raises, so
+        the reference actually yields inf) must kick in — a documented
+        deviation, see soft_erd_weights."""
         H, W, A = 2, 2, 5
         acq = rng.uniform(300.0, 400.0, size=(H, W, A)).astype(np.float32)
         b0 = rng.uniform(800.0, 1000.0, size=(H, W)).astype(np.float32)

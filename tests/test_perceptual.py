@@ -47,6 +47,19 @@ class TestHPF:
         assert np.allclose(out[4:-4, 4:-4], 77.0, atol=1e-6)
 
 
+class TestMatlabRound:
+    def test_half_away_from_zero(self):
+        """FSIM.m/SR_SIM.m F = round(minDim/256) uses MATLAB round (half away
+        from zero); Python's banker's rounding diverges at minDim=640
+        (2.5 -> 2 instead of 3), changing the downsampled grid."""
+        from mri_super_resolution_tpu.ops.perceptual import _matlab_round
+
+        assert _matlab_round(640 / 256) == 3   # Python round() gives 2
+        assert _matlab_round(384 / 256) == 2   # 1.5 -> 2 (both agree)
+        assert _matlab_round(0.49) == 0
+        assert _matlab_round(96 / 256) == 0
+
+
 class TestFSIM:
     def test_identity_is_one(self, images):
         clean, _, _ = images
@@ -109,11 +122,38 @@ class TestMSSSIM:
 
 
 class TestPanel:
+    # all 5 metrics x (interp, SR) x (raw, HPF) + HF_power, matching the
+    # perceptual_similarity.m:50-54 column set
+    EXPECTED_KEYS = {"HF_power"} | {
+        f"{m}_{h}{arm}"
+        for m in ("SSIM", "MSE", "MULTISSIM", "FSIM", "SR_SIM")
+        for h in ("", "HPF_")
+        for arm in ("interp", "SR")
+    }
+
     def test_score_panel_keys_and_sanity(self, images):
         clean, noisy, blurry = images
         scores = score_panel(HR=clean, interp=blurry, SR=noisy)
-        for k in ("FSIM_SR", "SR_SIM_SR", "SSIM_SR", "MULTISSIM_SR", "HF_power"):
-            assert k in scores
+        assert set(scores) == self.EXPECTED_KEYS
         assert scores["MSE_interp"] == pytest.approx(immse(blurry, clean))
         # SR (noisy) has MORE high-frequency power than blurry interpolation
         assert scores["HF_power"] > 0.0
+
+    def test_hpf_ssim_uses_class_range(self, images):
+        """MATLAB ssim on HPF.m's single output runs at DynamicRange=1 (the
+        class range), NOT 255 — the stabilizing constants are 65000x smaller,
+        so the two settings measurably differ on filtered images."""
+        import jax.numpy as jnp
+
+        from mri_super_resolution_tpu.core.metrics import ssim as _ssim
+        from mri_super_resolution_tpu.ops.perceptual import hpf_unsharp
+
+        clean, noisy, _ = images
+        scores = score_panel(HR=clean, interp=noisy, SR=noisy)
+        h_hr, h_sr = hpf_unsharp(clean), hpf_unsharp(noisy)
+        at_1 = float(_ssim(jnp.asarray(h_sr, jnp.float32),
+                           jnp.asarray(h_hr, jnp.float32), data_range=1.0))
+        at_255 = float(_ssim(jnp.asarray(h_sr, jnp.float32),
+                             jnp.asarray(h_hr, jnp.float32), data_range=255.0))
+        assert scores["SSIM_HPF_SR"] == pytest.approx(at_1, abs=1e-6)
+        assert abs(at_1 - at_255) > 1e-3  # the ranges genuinely differ here

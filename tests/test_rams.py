@@ -228,8 +228,12 @@ class TestTTA:
         assert float(out2.min()) == 0.0
 
     def test_geometric_ensemble_identity_model(self):
-        """With a transform-equivariant model (identity on channel-0 upscale),
-        the ensemble must reproduce the single prediction."""
+        """With a transform-EQUIVARIANT model (nearest-repeat 3x upscale of
+        channel 0: rot90/flip commute with block-repeat), every variant's
+        un-transformed prediction equals the direct prediction, so the
+        ensemble mean must match it EXACTLY — this pins the inverse-transform
+        convention (rotate by 4-k then flip, prediction.py:48-52); a wrong
+        inverse order/sign averages misaligned images and fails."""
 
         def fake_apply(x):
             return jnp.repeat(jnp.repeat(x[..., :1], 3, 1), 3, 2)
@@ -237,11 +241,7 @@ class TestTTA:
         x = jnp.asarray(np.random.default_rng(0).uniform(0, 100, (1, 6, 6, 9)), dtype=jnp.float32)
         ens = geometric_ensemble_predict(fake_apply, x)
         direct = np.asarray(predict_tensor(fake_apply, x))
-        # rot/flip of channel-0 selection is not equivariant in general, so
-        # just check shape and finiteness + determinism
-        assert ens.shape == direct.shape
-        ens2 = geometric_ensemble_predict(fake_apply, x)
-        np.testing.assert_array_equal(ens, ens2)
+        np.testing.assert_allclose(ens, direct, atol=1e-5)
 
     def test_geometric_ensemble_batched_matches_loop(self):
         """Square inputs take the single-batched-call path; it must equal the

@@ -105,3 +105,8 @@ class TestRestartOption:
         cfg_r = dataclasses.replace(cfg, inr_restart_every=10)
         result = superres3d.run_patient(hybrid, bvalues, cfg_r, seed=0, pt_id=7)
         assert np.isfinite(result.recon_2x).all()
+        # the restart path must actually diverge from flat Adam after the
+        # first reset fires (a silently-ignored flag would match exactly)
+        flat = superres3d.run_patient(hybrid, bvalues, cfg, seed=0, pt_id=7)
+        assert not np.allclose(
+            np.asarray(result.recon_2x), np.asarray(flat.recon_2x))
