@@ -106,25 +106,68 @@ def _extract(lib, handle) -> dict[str, np.ndarray]:
     return out
 
 
-def _reassemble_cells(arrays: dict) -> dict:
-    """Rebuild MATLAB cell arrays from the native reader's flat encoding:
-    ``name#cell`` carries the cell dims; ``name#<i>`` are the cells in
+def _assemble_cell(arrays: dict, marker: str) -> None:
+    """``name#cell`` carries the cell dims; ``name#<i>`` are the cells in
     column-major order. Result: an object ndarray, indexable ``[b][te]``
     exactly like scipy's v5 load (superresHybrid.py:50-55)."""
-    # deepest-first: an inner cell ("x#0#cell") must be assembled into its
-    # "x#0" entry before the outer "x#cell" pops "x#0", or nested cells come
-    # back None
-    markers = sorted((k for k in arrays if k.endswith("#cell")),
-                     key=lambda k: k.count("#"), reverse=True)
+    name = marker[: -len("#cell")]
+    dims = tuple(int(d) for d in arrays.pop(marker).reshape(-1))
+    cell = np.empty(dims, dtype=object)
+    for i in range(cell.size):
+        # cells are stored column-major; reshape(order="F") would copy
+        cell[np.unravel_index(i, dims, order="F")] = \
+            arrays.pop(f"{name}#{i}", None)
+    arrays[name] = cell
+
+
+def _assemble_struct(arrays: dict, marker: str) -> None:
+    """``name#struct`` carries the struct dims; ``name.<field>#<e>`` are the
+    per-element field values, element index column-major. Result: a numpy
+    structured ndarray with object fields — the same access pattern as
+    scipy's default struct load (``rec['field'][0, 0]``)."""
+    name = marker[: -len("#struct")]
+    dims = tuple(int(d) for d in arrays.pop(marker).reshape(-1))
+    prefix = name + "."
+    fields: list[str] = []
+    for k in list(arrays):
+        if k.startswith(prefix) and "#" in k[len(prefix):]:
+            f = k[len(prefix):].rsplit("#", 1)[0]
+            if "#" not in f and "." not in f and f not in fields:
+                fields.append(f)
+    if not fields:  # empty struct (no decodable fields)
+        arrays[name] = np.empty(dims, dtype=object)
+        return
+    rec = np.empty(dims, dtype=[(f, object) for f in fields])
+    n = int(np.prod(dims))
+    for e in range(n):
+        idx = np.unravel_index(e, dims, order="F")
+        for f in fields:
+            rec[f][idx] = arrays.pop(f"{prefix}{f}#{e}", None)
+    arrays[name] = rec
+
+
+def _reassemble_cells(arrays: dict) -> dict:
+    """Rebuild MATLAB container types from the native reader's flat
+    encoding: char arrays (``name#char`` code points -> str), then cell and
+    struct markers deepest-first — an inner container ("x#0#cell",
+    "x.f#0#struct") must be assembled into its entry before the outer
+    marker pops it, or nested containers come back None."""
+    for k in [k for k in arrays if k.endswith("#char")]:
+        name = k[: -len("#char")]
+        codes = arrays.pop(k)
+        if codes.ndim == 2 and codes.shape[0] <= 1:
+            # row vector: the MATLAB string case (scipy returns str arrays)
+            arrays[name] = "".join(chr(int(c)) for c in codes.reshape(-1))
+        else:
+            arrays[name] = codes  # char grid: keep the code-point array
+    markers = sorted(
+        (k for k in arrays if k.endswith("#cell") or k.endswith("#struct")),
+        key=lambda k: k.count("#"), reverse=True)
     for marker in markers:
-        name = marker[: -len("#cell")]
-        dims = tuple(int(d) for d in arrays.pop(marker).reshape(-1))
-        cell = np.empty(dims, dtype=object)
-        for i in range(cell.size):
-            # cells are stored column-major; reshape(order="F") would copy
-            cell[np.unravel_index(i, dims, order="F")] = \
-                arrays.pop(f"{name}#{i}", None)
-        arrays[name] = cell
+        if marker.endswith("#cell"):
+            _assemble_cell(arrays, marker)
+        else:
+            _assemble_struct(arrays, marker)
     return arrays
 
 

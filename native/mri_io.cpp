@@ -4,8 +4,9 @@
 // Python main thread (implicit-neural-representations/nn_mri.py:46-54,
 // superresDWI.py:40-46), serialising disk IO with training. This library
 // provides:
-//   * a MATLAB v5 (.mat) reader for numeric arrays, including
-//     miCOMPRESSED elements (zlib), single/double/int16/uint16 classes;
+//   * a MATLAB v5 (.mat) reader for numeric arrays, cell arrays, struct
+//     arrays and char arrays, including miCOMPRESSED elements (zlib) —
+//     the full pat*_alldata.mat / bigImage.mat / master.mat schema set;
 //   * a background prefetch pool: N worker threads decode volumes into
 //     host buffers while the accelerator trains on the previous patient.
 //
@@ -36,7 +37,8 @@ namespace {
 
 constexpr uint32_t miINT8 = 1, miUINT8 = 2, miINT16 = 3, miUINT16 = 4,
                    miINT32 = 5, miUINT32 = 6, miSINGLE = 7, miDOUBLE = 9,
-                   miMATRIX = 14, miCOMPRESSED = 15;
+                   miMATRIX = 14, miCOMPRESSED = 15, miUTF8 = 16,
+                   miUTF16 = 17, miUTF32 = 18;
 
 constexpr uint32_t mxDOUBLE_CLASS = 6, mxSINGLE_CLASS = 7, mxINT16_CLASS = 10,
                    mxUINT16_CLASS = 11, mxINT32_CLASS = 12, mxUINT32_CLASS = 13,
@@ -100,11 +102,14 @@ void convert(const uint8_t* src, size_t count, std::vector<double>& out) {
 size_t dtype_size(uint32_t t) {
   switch (t) {
     case miINT8:
-    case miUINT8: return 1;
+    case miUINT8:
+    case miUTF8: return 1;
     case miINT16:
-    case miUINT16: return 2;
+    case miUINT16:
+    case miUTF16: return 2;
     case miINT32:
     case miUINT32:
+    case miUTF32:
     case miSINGLE: return 4;
     case miDOUBLE: return 8;
     default: return 0;
@@ -169,11 +174,85 @@ bool parse_matrix(const uint8_t* p, size_t n, const std::string& forced_name,
     }
     return true;
   }
-  if (cls == mxSTRUCT_CLASS || cls == mxOBJECT_CLASS || cls == mxCHAR_CLASS) {
-    notes += "skipped variable '" + name + "' (MATLAB class " +
-             std::to_string(cls) +
-             (cls == mxCHAR_CLASS ? " char" : " struct/object") +
-             " unsupported by the native reader; scipy path handles it); ";
+  if (cls == mxSTRUCT_CLASS) {
+    // v5 struct layout: field-name length (miINT32), packed field names
+    // (miINT8, NUL-padded to the length), then numel x nfields miMATRIX
+    // payloads, element-major with fields varying fastest. Encoded for the
+    // Python side as a "<name>#struct" marker (data = dims) plus
+    // "<name>.<field>#<elem>" entries; native_io._reassemble rebuilds the
+    // scipy structured ndarray (pat*_alldata.mat / bigImage.mat schemas,
+    // nn_mri.py:29-54, INR_ERD.py:69-95).
+    if (!read_tag(c, type, size, data, adv) || type != miINT32 || size < 4) {
+      notes += "malformed struct '" + name + "' (field-name length); ";
+      return false;
+    }
+    int32_t flen;
+    std::memcpy(&flen, data, 4);
+    c.off += adv;
+    if (!read_tag(c, type, size, data, adv) || type != miINT8 || flen <= 0) {
+      notes += "malformed struct '" + name + "' (field names); ";
+      return false;
+    }
+    size_t nfields = size / static_cast<size_t>(flen);
+    std::vector<std::string> fields;
+    for (size_t i = 0; i < nfields; ++i) {
+      const char* s = reinterpret_cast<const char*>(data) + i * flen;
+      fields.emplace_back(s, strnlen(s, flen));
+    }
+    c.off += adv;
+
+    Array marker;
+    marker.name = name + "#struct";
+    marker.dims = {static_cast<int64_t>(ndim)};
+    for (int64_t d : dims) marker.data.push_back(static_cast<double>(d));
+    arrays.push_back(std::move(marker));
+    for (size_t e = 0; e < count; ++e) {
+      for (size_t f = 0; f < nfields; ++f) {
+        if (!read_tag(c, type, size, data, adv) || type != miMATRIX) {
+          notes += "truncated struct '" + name + "'; ";
+          return false;
+        }
+        parse_matrix(data, size,
+                     name + "." + fields[f] + "#" + std::to_string(e),
+                     arrays, notes);
+        c.off += adv;
+      }
+    }
+    return true;
+  }
+  if (cls == mxCHAR_CLASS) {
+    // char array: decode the code units to doubles; the Python side turns
+    // a "<name>#char" entry back into a str (row-vector) or code grid
+    if (!read_tag(c, type, size, data, adv)) return false;
+    size_t esz = dtype_size(type);
+    if (!esz) {
+      notes += "skipped char '" + name + "' (element type " +
+               std::to_string(type) + " unsupported); ";
+      return false;
+    }
+    Array out;
+    out.name = name + "#char";
+    out.dims = std::move(dims);
+    size_t n_chars = size / esz;
+    switch (type) {
+      case miUINT16:
+      case miUTF16: convert<uint16_t>(data, n_chars, out.data); break;
+      case miUINT8:
+      case miUTF8: convert<uint8_t>(data, n_chars, out.data); break;
+      case miINT8: convert<int8_t>(data, n_chars, out.data); break;
+      case miINT16: convert<int16_t>(data, n_chars, out.data); break;
+      case miUTF32: convert<uint32_t>(data, n_chars, out.data); break;
+      default:
+        notes += "skipped char '" + name + "' (unexpected unit type); ";
+        return false;
+    }
+    arrays.push_back(std::move(out));
+    return true;
+  }
+  if (cls == mxOBJECT_CLASS) {
+    notes += "skipped variable '" + name +
+             "' (MATLAB class 3 object unsupported by the native reader; "
+             "scipy path handles it); ";
     return false;
   }
   if (is_complex) {
@@ -469,6 +548,6 @@ int mri_notes(int64_t handle, char* buf, int buf_len) {
   return static_cast<int>(notes.size());
 }
 
-const char* mri_version() { return "mri_io 0.2.0"; }
+const char* mri_version() { return "mri_io 0.3.0"; }
 
 }  // extern "C"

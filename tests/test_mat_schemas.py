@@ -158,23 +158,67 @@ def test_native_reads_nested_cells(tmp_path, rng):
 
 
 @needs_native
-def test_native_precise_error_on_struct(tmp_path, rng):
-    """A struct variable must produce a named skip message, not a silent
-    KeyError (VERDICT r2: 'first contact with real patient data will be the
-    test, which is the wrong time')."""
+def test_native_decodes_struct(tmp_path, rng):
+    """Struct variables decode natively (round-3: previously a skip note;
+    the pat*_alldata.mat schemas are struct-heavy, so the fast path should
+    carry them) — field access matches scipy's structured load."""
     import scipy.io as sio
 
     from mri_super_resolution_tpu.data.native_io import load_mat_native
 
     path = str(tmp_path / "structy.mat")
+    data = rng.random((4, 4))
     sio.savemat(path, {
         "meta": {"pt_id": "prostate-003", "weight": 80.0},
-        "data": rng.random((4, 4)),
+        "data": data,
     })
-    got = load_mat_native(path)  # numeric sibling still loads
-    assert "data" in got and "meta" not in got
-    with pytest.raises(RuntimeError, match="meta"):
-        load_mat_native(path, "meta")
+    got = load_mat_native(path)
+    assert "data" in got and "meta" in got
+    ref = sio.loadmat(path)
+    meta = got["meta"]
+    assert meta.shape == ref["meta"].shape  # (1, 1) struct
+    assert set(meta.dtype.names) == set(ref["meta"].dtype.names)
+    assert meta["pt_id"][0, 0] == "prostate-003"
+    np.testing.assert_allclose(
+        np.asarray(meta["weight"][0, 0]).squeeze(), 80.0)
+    np.testing.assert_allclose(got["data"], data)
+
+
+@needs_native
+def test_native_struct_array_with_nested_cell(tmp_path, rng):
+    """2-element struct array whose field holds a cell array — the
+    bigImage.mat-style nesting (INR_ERD.py:69-95)."""
+    import scipy.io as sio
+
+    from mri_super_resolution_tpu.data.native_io import load_mat_native
+
+    a0, a1 = rng.random((2, 3)), rng.random((3, 2))
+    c0 = rng.random((2, 2))
+    rec = np.empty((1, 2), dtype=[("vol", object), ("cells", object)])
+    cell = np.empty((1, 1), dtype=object)
+    cell[0, 0] = c0
+    rec["vol"][0, 0], rec["vol"][0, 1] = a0, a1
+    rec["cells"][0, 0] = cell
+    rec["cells"][0, 1] = cell
+    path = str(tmp_path / "sarr.mat")
+    sio.savemat(path, {"s": rec})
+    got = load_mat_native(path, "s")
+    assert got.shape == (1, 2)
+    np.testing.assert_allclose(np.asarray(got["vol"][0, 0]), a0)
+    np.testing.assert_allclose(np.asarray(got["vol"][0, 1]), a1)
+    inner = got["cells"][0, 1]
+    np.testing.assert_allclose(np.asarray(inner[0, 0]), c0)
+
+
+@needs_native
+def test_native_decodes_char(tmp_path):
+    import scipy.io as sio
+
+    from mri_super_resolution_tpu.data.native_io import load_mat_native
+
+    path = str(tmp_path / "chars.mat")
+    sio.savemat(path, {"label": "pat07-coronal"})
+    assert load_mat_native(path, "label") == "pat07-coronal"
 
 
 @needs_native
