@@ -68,20 +68,31 @@ class Case:
         acquisitions: Sequence[int],
         data_dir: str = DEFAULT_DATA_DIR,
         require_real: bool = False,
+        preloaded: dict | None = None,
     ) -> "Case":
+        """``preloaded``: optional {path: {var: array}} mapping filled by the
+        native prefetch pool (load_cases) — volumes decoded on background
+        threads while earlier cases build, instead of blocking per call
+        (the reference's serialised scipy loads, nn_mri.py:46-54)."""
+
+        def _var(path, var):
+            if preloaded is not None and path in preloaded:
+                return preloaded[path][var]
+            return load_mat(path, var, prefer_native=True)
+
         pt_no = pt_id.split("-")[-1]
         b0 = np.asarray(
-            load_mat(os.path.join(data_dir, f"pat{pt_no}_mean_b0.mat"), "data_mean_b0"),
+            _var(os.path.join(data_dir, f"pat{pt_no}_mean_b0.mat"), "data_mean_b0"),
             dtype=np.float32,
         )
         erd = np.asarray(
-            load_mat(os.path.join(data_dir, f"pat{pt_no}_ERD.mat"), "ADC_alldata_mm_ERD"),
+            _var(os.path.join(data_dir, f"pat{pt_no}_ERD.mat"), "ADC_alldata_mm_ERD"),
             dtype=np.float32,
         )
         alldata_path = os.path.join(data_dir, f"pat{pt_no}_alldata.mat")
         synthetic_dwi = False
         if os.path.exists(alldata_path):
-            dwi = np.asarray(load_mat(alldata_path, "data"), dtype=np.float32)
+            dwi = np.asarray(_var(alldata_path, "data"), dtype=np.float32)
         else:
             if require_real:
                 raise FileNotFoundError(alldata_path)
@@ -138,8 +149,38 @@ def available_patients(data_dir: str = DEFAULT_DATA_DIR) -> list[dict]:
 def load_cases(
     data_dir: str = DEFAULT_DATA_DIR, limit: int | None = None
 ) -> list[Case]:
-    """Load every available case (the module-scope ``cases`` list analog)."""
+    """Load every available case (the module-scope ``cases`` list analog).
+
+    With the native runtime available, every case's .mat files are submitted
+    to the C++ prefetch pool up front, so disk IO + v5 decoding overlap the
+    numpy-side case assembly instead of serialising with it."""
     rows = available_patients(data_dir)
     if limit is not None:
         rows = rows[:limit]
-    return [Case.load(data_dir=data_dir, **row) for row in rows]
+
+    preloaded = None
+    from mri_super_resolution_tpu.data import native_io
+
+    if native_io.available():
+        paths = []
+        for row in rows:
+            pt_no = row["pt_id"].split("-")[-1]
+            for stem in (f"pat{pt_no}_mean_b0.mat", f"pat{pt_no}_ERD.mat",
+                         f"pat{pt_no}_alldata.mat"):
+                p = os.path.join(data_dir, stem)
+                if os.path.exists(p):
+                    paths.append(p)
+        try:
+            pf = native_io.Prefetcher()
+            handles = [(p, pf.submit(p)) for p in paths]
+            preloaded = {}
+            for p, h in handles:
+                try:
+                    preloaded[p] = pf.get(h)
+                except (RuntimeError, TimeoutError):
+                    pass  # that file falls back to the scipy path
+        except RuntimeError:
+            preloaded = None
+
+    return [Case.load(data_dir=data_dir, preloaded=preloaded, **row)
+            for row in rows]

@@ -51,13 +51,28 @@ def _from_h5(obj, f):
     return data.T
 
 
-def load_mat(path: str, key: str | None = None):
+def load_mat(path: str, key: str | None = None, prefer_native: bool = False):
     """Load a MATLAB file; v5 via scipy, v7.3 (HDF5) via h5py.
 
     Covers every schema the reference loads (nn_mri.py:46-54,
     INR_ERD.py:89-95, superresHybrid.py:44-50): plain numeric arrays, cell
     arrays (v5 object ndarrays / v7.3 reference datasets), char arrays and
-    structs. Unknown layouts raise with the offending key named."""
+    structs. Unknown layouts raise with the offending key named.
+
+    ``prefer_native``: route v5 files through the C++ reader
+    (data/native_io, parity-tested against scipy) first, falling back here
+    on any failure. Note the native path returns float64 data and python
+    str for char row-vectors — use it where the caller casts anyway (the
+    volume loads of Case.load do)."""
+    if prefer_native:
+        from mri_super_resolution_tpu.data import native_io
+
+        if native_io.available():
+            try:
+                return native_io.load_mat_native(path, key)
+            except RuntimeError:
+                pass  # v7.3 file, unsupported layout, corrupt -> scipy/h5py
+
     import scipy.io as sio
 
     try:
