@@ -98,6 +98,7 @@ def main(argv=None):
                         f"pat{pt_no}_mean_b0.mat",
                     ),
                     "data_mean_b0",
+                    prefer_native=True,
                 ),
                 dtype=np.float32,
             )
