@@ -222,13 +222,49 @@ def measure_torch(steps: int) -> float:
     return P * steps / sec
 
 
+def _probe_backend(timeout: float = 300.0) -> str | None:
+    """Device discovery in a SUBPROCESS with a timeout.
+
+    A wedged TPU tunnel makes jax.devices() hang indefinitely in-process
+    (observed: >9 min with no error), which would leave the driver's bench
+    run with no JSON line at all. Probing in a child process bounds the
+    damage; on timeout/failure the caller pins this process to CPU so a
+    well-formed (clearly marked) line is still produced."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True, timeout=timeout, text=True,
+        )
+        if r.returncode == 0:
+            return r.stdout.strip().splitlines()[-1]
+    except (subprocess.TimeoutExpired, OSError):
+        pass
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="fewer steps for smoke runs")
     ap.add_argument("--no-torch", action="store_true", help="reuse cached torch baseline")
     ap.add_argument("--all", action="store_true",
                     help="also print erd/wire model-family lines before the headline")
+    ap.add_argument("--probe_timeout", type=float, default=300.0)
     args = ap.parse_args()
+
+    platform = _probe_backend(args.probe_timeout)
+    fallback = platform is None
+    if fallback:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        platform = "cpu-fallback (accelerator discovery hung)"
+        print(json.dumps({"warning": "device discovery timed out; "
+                          "benchmarking on CPU fallback"}), file=sys.stderr)
+        # the full workload is ~10 s/step on host CPU (4 warmup+timed calls
+        # of a steps-long scan); shrink so a marked line still lands fast
+        args.quick = True
 
     # Step counts follow the reference workloads (3-D fit: 2500 epochs,
     # superresDWI.py:84-90; 2-D fits: 3000 steps, master.py:28): long enough
@@ -237,6 +273,8 @@ def main():
     steps = 30 if args.quick else 500
     small_steps = 30 if args.quick else 1000
     torch_steps = 3 if args.quick else 10
+    if fallback:
+        steps, small_steps, torch_steps = 5, 5, 2  # ~10 s/step on host CPU
 
     if args.all:
         for name, fn in (("erd", measure_erd), ("wire", measure_wire)):
@@ -296,6 +334,7 @@ def main():
                 "vs_baseline": round(ours / baseline, 2),
                 "baseline_voxels_per_sec": round(baseline, 1),
                 "baseline_source": source,
+                "platform": platform,
             }
         )
     )
