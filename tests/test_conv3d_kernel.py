@@ -1,0 +1,46 @@
+"""Parity tests for the experimental RFAB Pallas conv (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mri_super_resolution_tpu.ops.pallas.conv3d_kernel import conv3d_same_rfab
+
+
+def _xla_conv(x, kernel, bias):
+    """The WNConv forward this kernel replaces (models/rams.py:128-133)."""
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1, 1), padding="SAME",
+        dimension_numbers=dn)
+    return out + bias
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 8, 8, 5, 32),    # small RFAB-like
+    (1, 12, 10, 4, 32),  # H != W, short T
+])
+def test_matches_xla_conv(shape, rng):
+    B, H, W, T, C = shape
+    Cout = 32
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, C, Cout)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(Cout,)).astype(np.float32))
+    ref = np.asarray(_xla_conv(x, k, b))
+    out = np.asarray(conv3d_same_rfab(x, k, b, interpret=True))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_activations(rng):
+    B, H, W, T, C = 1, 8, 8, 3, 32
+    x = jnp.asarray(rng.normal(size=(B, H, W, T, C)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, C, C)).astype(np.float32) * 0.1)
+    b = jnp.zeros((C,), jnp.float32)
+    ref = np.asarray(_xla_conv(x, k, b))
+    out = np.asarray(conv3d_same_rfab(
+        x.astype(jnp.bfloat16), k, b, interpret=True,
+        compute_dtype=jnp.bfloat16)).astype(np.float32)
+    # bf16 operands, f32 accumulation: ~1e-2 relative agreement
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
