@@ -26,11 +26,18 @@ if [ ! -f results/round3_flagship/fast_fit_seeds.json ]; then
   echo "$(date -u +%H:%M:%S) fast_fit done ($?)" >> /tmp/tpu_queue/queue.log
 fi
 
-# 2. warm bench line (sanity for the driver's end-of-round run)
+# 2. experimental Pallas RFAB conv A/B (forward, short)
+if [ ! -f results/round3_rams/conv_kernel_ab.json ]; then
+  timeout 1800 python -u scripts/conv_kernel_bench.py \
+    > /tmp/tpu_queue/conv_ab.log 2>&1
+  echo "$(date -u +%H:%M:%S) conv A/B done ($?)" >> /tmp/tpu_queue/queue.log
+fi
+
+# 3. warm bench line (sanity for the driver's end-of-round run)
 timeout 3600 python -u bench.py > /tmp/tpu_queue/bench.log 2>&1
 echo "$(date -u +%H:%M:%S) bench done ($?)" >> /tmp/tpu_queue/queue.log
 
-# 3. leak-free RAMS retrain: patient-held-out split, from scratch config of
+# 4. leak-free RAMS retrain: patient-held-out split, from scratch config of
 #    the committed artifact; gives the TRUE held-out generalization number
 if [ ! -f /tmp/tpu_queue/rams_holdout_train.done ]; then
   timeout 28800 python -u cli/train_misr.py --epochs 40 --data_aug \
@@ -41,10 +48,3 @@ if [ ! -f /tmp/tpu_queue/rams_holdout_train.done ]; then
   echo "$(date -u +%H:%M:%S) rams holdout train done ($?)" >> /tmp/tpu_queue/queue.log
 fi
 echo "$(date -u +%H:%M:%S) queue complete" >> /tmp/tpu_queue/queue.log
-
-# 4. experimental Pallas RFAB conv A/B (forward)
-if [ ! -f results/round3_rams/conv_kernel_ab.json ]; then
-  timeout 1800 python -u scripts/conv_kernel_bench.py \
-    > /tmp/tpu_queue/conv_ab.log 2>&1
-  echo "$(date -u +%H:%M:%S) conv A/B done ($?)" >> /tmp/tpu_queue/queue.log
-fi
