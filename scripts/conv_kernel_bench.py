@@ -51,12 +51,40 @@ def main():
     t_pl = time_jitted(
         lambda: conv3d_same_rfab(x, k, b, compute_dtype=jnp.bfloat16),
         repeats=reps)
+
+    # training step shape: value+grad of an MSE through one conv
+    from mri_super_resolution_tpu.ops.pallas.conv3d_kernel import (
+        conv3d_same_rfab_trainable)
+
+    tgt = jnp.asarray(rng.normal(size=(B, H, W, T, C)), jnp.float32)
+
+    @jax.jit
+    def vg_xla(x, k, b):
+        def loss(k, b):
+            o = xla_conv(x, k, b).astype(jnp.float32)
+            return jnp.mean((o - tgt) ** 2)
+        return jax.value_and_grad(loss, argnums=(0, 1))(k, b)
+
+    @jax.jit
+    def vg_pl(x, k, b):
+        def loss(k, b):
+            o = conv3d_same_rfab_trainable(
+                x, k, b, jnp.bfloat16).astype(jnp.float32)
+            return jnp.mean((o - tgt) ** 2)
+        return jax.value_and_grad(loss, argnums=(0, 1))(k, b)
+
+    t_vg_xla = time_jitted(lambda: vg_xla(x, k, b), repeats=reps)
+    t_vg_pl = time_jitted(lambda: vg_pl(x, k, b), repeats=reps)
+
     flops = 2 * B * H * W * T * 27 * C * C
     row = {
         "shape": [B, H, W, T, C],
         "xla_us": round(t_xla * 1e6, 1),
         "pallas_us": round(t_pl * 1e6, 1),
         "speedup": round(t_xla / t_pl, 3),
+        "xla_valgrad_us": round(t_vg_xla * 1e6, 1),
+        "pallas_valgrad_us": round(t_vg_pl * 1e6, 1),
+        "valgrad_speedup": round(t_vg_xla / t_vg_pl, 3),
         "pallas_tflops": round(flops / t_pl / 1e12, 2),
         "xla_tflops": round(flops / t_xla / 1e12, 2),
         "max_rel_err": err,

@@ -33,6 +33,30 @@ def test_matches_xla_conv(shape, rng):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_gradients_match_autodiff(rng):
+    """custom-VJP (dx, dkernel, dbias) vs jax.grad through the XLA conv."""
+    from mri_super_resolution_tpu.ops.pallas.conv3d_kernel import (
+        conv3d_same_rfab_trainable)
+
+    B, H, W, T, C = 1, 6, 5, 3, 32
+    x = jnp.asarray(rng.normal(size=(B, H, W, T, C)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, C, C)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(B, H, W, T, C)).astype(np.float32))
+
+    def loss_k(x, k, b):
+        return jnp.mean((conv3d_same_rfab_trainable(x, k, b) - t) ** 2)
+
+    def loss_r(x, k, b):
+        return jnp.mean((_xla_conv(x, k, b) - t) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, k, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, k, b)
+    for a_, b_, name in zip(gk, gr, ("dx", "dkernel", "dbias")):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
 def test_bf16_activations(rng):
     B, H, W, T, C = 1, 8, 8, 3, 32
     x = jnp.asarray(rng.normal(size=(B, H, W, T, C)).astype(np.float32))
