@@ -88,6 +88,9 @@ class RAMSConfig:
     # at cPSNR parity — measured ±0.055 dB over a 5-epoch A/B on identical
     # data/seeds (results/round3_rams/dtype_parity.json)
     compute_dtype: str = "bfloat16"
+    # experimental Pallas path for the 3x3x3 SAME convs (nhwtc layout only;
+    # off pending the TPU A/B — scripts/conv_kernel_bench.py)
+    conv_kernel: bool = False
     layout: str = "nhwtc"  # "nthwc" cuts elementwise tile-padding 7.1x->4.7x
 
 

@@ -105,6 +105,10 @@ class WNConv(nn.Module):
     kernel_size: Sequence[int]
     padding: str = "SAME"
     dtype: jnp.dtype | None = None
+    # route 3x3x3 SAME convs through the experimental Pallas kernel
+    # (ops/pallas/conv3d_kernel) — opt-in via RAMSConfig.conv_kernel;
+    # interpret-mode (slow) on CPU, so leave off except on TPU
+    conv_kernel: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -116,6 +120,14 @@ class WNConv(nn.Module):
         kernel = weight_norm_kernel(v, g)
         dtype = self.dtype or x.dtype
         ndim = len(self.kernel_size)
+        if (self.conv_kernel and ndim == 3 and self.padding == "SAME"
+                and tuple(self.kernel_size) == (3, 3, 3)):
+            from mri_super_resolution_tpu.ops.pallas.conv3d_kernel import (
+                conv3d_same_rfab_trainable)
+
+            cd = jnp.bfloat16 if dtype == jnp.bfloat16 else None
+            return conv3d_same_rfab_trainable(
+                x.astype(dtype), kernel, b, cd)
         # channels-last conv: spatial dims between batch and feature
         lhs_spec = "N" + "".join("DHW"[-ndim:]) + "C"
         dn = jax.lax.conv_dimension_numbers(
@@ -139,14 +151,15 @@ class RFAB(nn.Module):
     filters: int
     kernel_size: int = 3
     r: int = 8
+    conv_kernel: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         res = x
         k = (self.kernel_size,) * 3
-        x = WNConv(self.filters, k)(x)
+        x = WNConv(self.filters, k, conv_kernel=self.conv_kernel)(x)
         x = nn.relu(x)
-        x = WNConv(self.filters, k)(x)
+        x = WNConv(self.filters, k, conv_kernel=self.conv_kernel)(x)
         to_scale = x
         # channel attention: GAP -> 1x1x1 bottleneck -> sigmoid gate
         # (GAP accumulates in f32 — a bf16 mean over ~10k elements drifts)
@@ -205,6 +218,9 @@ class RAMS(nn.Module):
     # pass. Math identical; param SHAPES identical (kernel spatial axes
     # reinterpreted (H,W,T)->(T,H,W), so checkpoints are layout-specific).
     layout: str = "nhwtc"
+    # opt-in experimental Pallas path for the 3x3x3 SAME convs (nhwtc only:
+    # the kernel flattens dims 1-2 and loops dim 3, tuned for (H, W, T))
+    conv_kernel: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -219,20 +235,23 @@ class RAMS(nn.Module):
             x = x[..., None]  # (B, H, W, T, 1)
             hw_axes = (1, 2)
             t_axis = 3
+        use_ck = self.conv_kernel and self.layout == "nhwtc"
         x = reflect_pad_hw(x, axes=hw_axes)
         k3 = (self.kernel_size,) * 3
-        x = WNConv(self.filters, k3)(x)
+        x = WNConv(self.filters, k3, conv_kernel=use_ck)(x)
         res = x
         for _ in range(self.N):
-            x = RFAB(self.filters, self.kernel_size, self.r)(x)
-        x = WNConv(self.filters, k3)(x)
+            x = RFAB(self.filters, self.kernel_size, self.r,
+                     conv_kernel=use_ck)(x)
+        x = WNConv(self.filters, k3, conv_kernel=use_ck)(x)
         x = x + res
 
         # temporal reduction: T -> T - 2*floor(T/3); spatial dims restored by
         # the reflect pad before each valid conv
         for _ in range(self.channels // 3):
             x = reflect_pad_hw(x, axes=hw_axes)
-            x = RFAB(self.filters, self.kernel_size, self.r)(x)
+            x = RFAB(self.filters, self.kernel_size, self.r,
+                     conv_kernel=use_ck)(x)
             x = WNConv(self.filters, (3, 3, 3), padding="VALID")(x)
             x = nn.relu(x)
 

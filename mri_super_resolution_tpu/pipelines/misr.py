@@ -34,6 +34,7 @@ def build_rams(cfg: RAMSConfig) -> RAMS:
         std=cfg.std,
         compute_dtype=cfg.compute_dtype,
         layout=cfg.layout,
+        conv_kernel=cfg.conv_kernel,
     )
 
 

@@ -57,6 +57,25 @@ def test_gradients_match_autodiff(rng):
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+def test_rams_model_equivalence(rng):
+    """RAMS(conv_kernel=True) must match the XLA path exactly: identical
+    param tree (shapes unchanged) and matching forward at f32."""
+    from mri_super_resolution_tpu.config import RAMSConfig
+    from mri_super_resolution_tpu.pipelines.misr import build_rams
+
+    cfg = dict(scale=3, filters=32, channels=9, r=8, N=1,
+               compute_dtype="float32")
+    a = build_rams(RAMSConfig(**cfg))
+    b = build_rams(RAMSConfig(conv_kernel=True, **cfg))
+    x = jnp.asarray(rng.uniform(1000, 9000, size=(1, 8, 8, 9)).astype(np.float32))
+    pa = a.init(jax.random.key(0), x)
+    pb = b.init(jax.random.key(0), x)
+    assert jax.tree_util.tree_structure(pa) == jax.tree_util.tree_structure(pb)
+    oa = np.asarray(a.apply(pa, x))
+    ob = np.asarray(b.apply(pb, x))
+    np.testing.assert_allclose(ob, oa, rtol=2e-4, atol=2e-2)
+
+
 def test_bf16_activations(rng):
     B, H, W, T, C = 1, 8, 8, 3, 32
     x = jnp.asarray(rng.normal(size=(B, H, W, T, C)).astype(np.float32))
