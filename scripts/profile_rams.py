@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--no-trace", action="store_true")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--layout", default="nhwtc")
+    ap.add_argument("--conv_kernel", action="store_true",
+                    help="route the 3x3x3 SAME convs through the Pallas "
+                         "kernel (ops/pallas/conv3d_kernel)")
     args = ap.parse_args()
 
     from mri_super_resolution_tpu.config import RAMSConfig, TrainerConfig
@@ -62,7 +65,8 @@ def main():
                         checkpoint_dir="/tmp/prof_rams_ckpt",
                         log_dir="/tmp/prof_rams_logs")
     tr = Trainer(build_rams(RAMSConfig(compute_dtype=args.dtype,
-                                       layout=args.layout)), cfg,
+                                       layout=args.layout,
+                                       conv_kernel=args.conv_kernel)), cfg,
                  name="prof")
     rng = np.random.default_rng(0)
     B = 8

@@ -48,3 +48,10 @@ if [ ! -f /tmp/tpu_queue/rams_holdout_train.done ]; then
   echo "$(date -u +%H:%M:%S) rams holdout train done ($?)" >> /tmp/tpu_queue/queue.log
 fi
 echo "$(date -u +%H:%M:%S) queue complete" >> /tmp/tpu_queue/queue.log
+
+# 5. whole-step conv_kernel A/B (only meaningful if step 2 showed a win)
+if [ -f results/round3_rams/conv_kernel_ab.json ]; then
+  timeout 1800 python -u scripts/profile_rams.py --no-trace --dtype bfloat16 \
+    --conv_kernel > /tmp/tpu_queue/rams_convkernel_step.log 2>&1
+  echo "$(date -u +%H:%M:%S) conv_kernel whole-step done ($?)" >> /tmp/tpu_queue/queue.log
+fi
