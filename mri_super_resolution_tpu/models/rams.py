@@ -120,14 +120,15 @@ class WNConv(nn.Module):
         kernel = weight_norm_kernel(v, g)
         dtype = self.dtype or x.dtype
         ndim = len(self.kernel_size)
-        if (self.conv_kernel and ndim == 3 and self.padding == "SAME"
+        if (self.conv_kernel and ndim == 3
+                and self.padding in ("SAME", "VALID")
                 and tuple(self.kernel_size) == (3, 3, 3)):
             from mri_super_resolution_tpu.ops.pallas.conv3d_kernel import (
-                conv3d_same_rfab_trainable)
+                conv3d_rfab_trainable)
 
             cd = jnp.bfloat16 if dtype == jnp.bfloat16 else None
-            return conv3d_same_rfab_trainable(
-                x.astype(dtype), kernel, b, cd)
+            return conv3d_rfab_trainable(
+                x.astype(dtype), kernel, b, self.padding, cd)
         # channels-last conv: spatial dims between batch and feature
         lhs_spec = "N" + "".join("DHW"[-ndim:]) + "C"
         dn = jax.lax.conv_dimension_numbers(
@@ -252,7 +253,8 @@ class RAMS(nn.Module):
             x = reflect_pad_hw(x, axes=hw_axes)
             x = RFAB(self.filters, self.kernel_size, self.r,
                      conv_kernel=use_ck)(x)
-            x = WNConv(self.filters, (3, 3, 3), padding="VALID")(x)
+            x = WNConv(self.filters, (3, 3, 3), padding="VALID",
+                       conv_kernel=use_ck)(x)
             x = nn.relu(x)
 
         x = WNConv(self.scale**2, (3, 3, 3), padding="VALID")(x)

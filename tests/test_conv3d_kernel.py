@@ -7,12 +7,12 @@ import pytest
 from mri_super_resolution_tpu.ops.pallas.conv3d_kernel import conv3d_same_rfab
 
 
-def _xla_conv(x, kernel, bias):
+def _xla_conv(x, kernel, bias, padding="SAME"):
     """The WNConv forward this kernel replaces (models/rams.py:128-133)."""
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
     out = jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(1, 1, 1), padding="SAME",
+        x, kernel, window_strides=(1, 1, 1), padding=padding,
         dimension_numbers=dn)
     return out + bias
 
@@ -31,6 +31,35 @@ def test_matches_xla_conv(shape, rng):
     out = np.asarray(conv3d_same_rfab(x, k, b, interpret=True))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_valid_padding_matches_xla(rng):
+    """VALID variant (the temporal-reduction convs): forward + grads."""
+    from mri_super_resolution_tpu.ops.pallas.conv3d_kernel import (
+        conv3d_rfab, conv3d_rfab_trainable)
+
+    B, H, W, T, C = 1, 10, 9, 5, 32
+    x = jnp.asarray(rng.normal(size=(B, H, W, T, C)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, C, C)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+    ref = np.asarray(_xla_conv(x, k, b, "VALID"))
+    out = np.asarray(conv3d_rfab(x, k, b, "VALID", interpret=True))
+    assert out.shape == ref.shape == (B, H - 2, W - 2, T - 2, C)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    t = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
+
+    def loss_k(x, k, b):
+        return jnp.mean((conv3d_rfab_trainable(x, k, b, "VALID") - t) ** 2)
+
+    def loss_r(x, k, b):
+        return jnp.mean((_xla_conv(x, k, b, "VALID") - t) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, k, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, k, b)
+    for a_, b_, name in zip(gk, gr, ("dx", "dkernel", "dbias")):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
 
 
 def test_gradients_match_autodiff(rng):
