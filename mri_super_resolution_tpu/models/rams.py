@@ -122,7 +122,10 @@ class WNConv(nn.Module):
         ndim = len(self.kernel_size)
         if (self.conv_kernel and ndim == 3
                 and self.padding in ("SAME", "VALID")
-                and tuple(self.kernel_size) == (3, 3, 3)):
+                and tuple(self.kernel_size) == (3, 3, 3)
+                # lane-aligned channels only: the feature-extraction conv
+                # (in_ch=1) and the scale^2 head (features=9) stay on XLA
+                and in_ch % 8 == 0 and self.features % 8 == 0):
             from mri_super_resolution_tpu.ops.pallas.conv3d_kernel import (
                 conv3d_rfab_trainable)
 
