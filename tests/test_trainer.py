@@ -82,3 +82,43 @@ class TestTrainer:
         assert tr._save(5.0) is False  # worse PSNR skipped
         tr.state.step += 1
         assert tr._save(11.0) is True
+
+
+class TestPatientSplit:
+    def test_holdout_is_disjoint_by_patient(self):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "cli"))
+        from train_misr import split_dataset
+
+        rng = np.random.default_rng(0)
+        n = 30
+        pids = np.repeat(np.arange(3), 10)
+        X = rng.normal(size=(n, 4, 4, 2)).astype(np.float32)
+        Y = rng.normal(size=(n, 12, 12, 1)).astype(np.float32)
+        M = np.ones_like(Y)
+        (Xt, Yt, Mt), (Xv, Yv, Mv) = split_dataset(X, Y, M, pids,
+                                                   holdout_patients=1)
+        assert len(Xv) == 10 and len(Xt) == 20
+        # val = exactly the last patient's patches; train = the rest
+        np.testing.assert_array_equal(Xv, X[20:])
+        np.testing.assert_array_equal(Xt, X[:20])
+
+    def test_two_holdout_patients(self):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "cli"))
+        from train_misr import split_dataset
+
+        pids = np.asarray([0, 0, 1, 2, 2, 1])
+        X = np.arange(6, dtype=np.float32).reshape(6, 1, 1, 1)
+        Y = X.copy()
+        M = np.ones_like(Y)
+        (Xt, _, _), (Xv, _, _) = split_dataset(X, Y, M, pids,
+                                               holdout_patients=2)
+        assert sorted(Xv.reshape(-1).tolist()) == [2.0, 3.0, 4.0, 5.0]
+        assert sorted(Xt.reshape(-1).tolist()) == [0.0, 1.0]
