@@ -88,15 +88,14 @@ def main():
             elapsed += time.perf_counter() - t0
             p, ostate = res.params, res.opt_state
             done += args.chunk
-            # NaN-diverged or exactly-zero losses must not produce NaN/inf
-            # (NaN is not a valid JSON token downstream)
+            # NaN-diverged losses must not produce NaN/±Infinity in the
+            # JSON line (neither is a valid JSON token downstream)
             if not np.isfinite(loss):
-                psnr = float("-inf")  # diverged: no target will be reached
-                loss = float("nan")
+                psnr = None  # diverged: no target will be reached
             else:
                 psnr = 10.0 * np.log10(data_range**2 / max(loss, 1e-30))
             for t in TARGETS:
-                if t not in results and psnr >= t:
+                if t not in results and psnr is not None and psnr >= t:
                     results[t] = (elapsed, done)
         row = {
             "metric": f"time_to_psnr_{name}",
@@ -105,7 +104,8 @@ def main():
                 str(t): {"seconds": round(v[0], 2), "steps": v[1]}
                 for t, v in results.items()
             },
-            "final_psnr": round(psnr, 2),
+            # null marks a diverged (non-finite-loss) fit in valid JSON
+            "final_psnr": None if psnr is None else round(psnr, 2),
             "steps": done,
         }
         print(json.dumps(row))

@@ -84,6 +84,9 @@ def split_dataset(X, Y, M, pids, holdout_patients: int = 1):
     anatomy. scripts/rams_anchor.py keeps the sequential split for
     comparability with the committed artifact's historical anchor.
     """
+    if holdout_patients < 1:
+        raise ValueError("holdout_patients must be >= 1 (0 would hold out "
+                         "EVERY patient: numpy's [-0:] is the full array)")
     val_ids = set(np.unique(pids)[-holdout_patients:].tolist())
     v = np.asarray([p in val_ids for p in pids])
     t = ~v

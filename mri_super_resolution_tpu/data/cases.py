@@ -77,7 +77,12 @@ class Case:
 
         def _var(path, var):
             if preloaded is not None and path in preloaded:
-                return preloaded[path][var]
+                arrays = preloaded[path]
+                if var in arrays:
+                    return arrays[var]
+                # the native reader decoded the file but skipped this
+                # variable (complex/object/...): keep the documented
+                # "falls back on any failure" contract per-variable
             return load_mat(path, var, prefer_native=True)
 
         pt_no = pt_id.split("-")[-1]

@@ -230,16 +230,18 @@ class Prefetcher:
         import time
 
         t0 = time.monotonic()
-        while True:
-            state = self.lib.mri_ready(handle)
-            if state == 1:
-                break
-            if state < 0:
-                raise RuntimeError(f"prefetch failed (state {state})")
-            if time.monotonic() - t0 > timeout:
-                raise TimeoutError("prefetch timed out")
-            time.sleep(0.002)
         try:
+            while True:
+                state = self.lib.mri_ready(handle)
+                if state == 1:
+                    break
+                if state < 0:
+                    raise RuntimeError(f"prefetch failed (state {state})")
+                if time.monotonic() - t0 > timeout:
+                    raise TimeoutError("prefetch timed out")
+                time.sleep(0.002)
             return _reassemble_cells(_extract(self.lib, handle))
         finally:
+            # release on EVERY exit: a timed-out handle would otherwise pin
+            # the decoded volume (hundreds of MB) for the process lifetime
             self.lib.mri_release(handle)

@@ -218,7 +218,10 @@ def soft_erd_weights(
     temp = _soft_temperature(x_mean, b0, mul, slope)
     z = acq / temp[..., None]
     overflow = z.max(axis=-1, keepdims=True) > 80.0
-    onehot = (z == z.max(axis=-1, keepdims=True)).astype(acq.dtype)
+    # strict one-hot via argmax (== against the max marks EVERY tied
+    # maximum — quantized intensities tie routinely, and the reference's
+    # onehot(x) uses np.argmax, which picks exactly one)
+    onehot = jax.nn.one_hot(jnp.argmax(z, axis=-1), A, dtype=acq.dtype)
     w = jnp.where(overflow, onehot, jnp.exp(jnp.minimum(z, 80.0)))
     uniform = jnp.full_like(acq, 1.0 / A)
     return jnp.where((x_mean > 2.0 * noise_level)[..., None], w, uniform)

@@ -215,6 +215,10 @@ def score_panels(panels: dict[int, QualPanel], out_csv: str) -> str:
         if csv is None:
             csv = MetricsCSV(out_csv, ("file",) + tuple(scores.keys()))
         csv.append(counter, *[round(v, 5) for v in scores.values()])
-    if csv is None:  # no panels: still produce the (header-only) CSV
-        MetricsCSV(out_csv, ("file",))
+    if csv is None:
+        # no panels: emit the SAME header schema a populated run would
+        # (consumers discover columns from the header / concatenate files)
+        keys = tuple(score_panel(HR=np.ones((8, 8)), interp=np.ones((8, 8)),
+                                 SR=np.ones((8, 8))).keys())
+        MetricsCSV(out_csv, ("file",) + keys)
     return out_csv

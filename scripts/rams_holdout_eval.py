@@ -1,12 +1,18 @@
-"""Evaluate the committed RAMS artifact on a patient-held-out validation set.
+"""Memorization probe for the committed RAMS artifact's split audit.
 
 The committed anchor (artifacts/rams_dwi/anchor.json) was measured on the
 historical sequential split, whose val patches share patients (and, at the
-boundary, slices) with training patches. This script quantifies how much of
-the anchor's val cPSNR survives on anatomy the network never saw: patches
-from held-out patients, same generation seed. Writes
-results/round3_rams/holdout_eval.json with both numbers and the bicubic
-baseline on the held-out set.
+boundary, slices) with training patches. This script quantifies whether
+that inflated the anchor by re-evaluating the artifact on the LAST
+patient's patches — which WERE in its training set (the sequential split
+trains on every patient beyond the first-10% patches). If the network were
+memorizing, trained-on patches would score HIGHER than the never-trained
+val set; measured round 3: they score LOWER (25.34 vs 28.07 dB), so the
+spread is per-patient difficulty, not leakage. A true held-out
+generalization number requires retraining with ``train_misr --split
+patient`` (now the default; staged in scripts/tpu_queue.sh).
+
+Writes results/round3_rams/holdout_eval.json.
 """
 import json
 import os
@@ -29,12 +35,10 @@ def main():
     from mri_super_resolution_tpu.pipelines.misr import build_rams
 
     X, Y, M, pids = build_dataset(seed=0)
-    # the historical split's val patches are pid 0's first slices; hold out
-    # the LAST patient so the held-out set is disjoint from historical val
     (Xt, Yt, Mt), (Xv, Yv, Mv) = split_dataset(X, Y, M, pids,
                                                holdout_patients=1)
-    print(f"held-out val: {len(Xv)} patches (patient {np.unique(pids)[-1]})",
-          flush=True)
+    print(f"probe set: {len(Xv)} patches (patient idx {np.unique(pids)[-1]},"
+          " IN the committed artifact's training set)", flush=True)
 
     model = build_rams(RAMSConfig())
     cfg = TrainerConfig(batch_size=8, hr_size=Yv.shape[1],
@@ -56,16 +60,26 @@ def main():
     bicubic_psnr = float(np.mean(bic))
 
     out = {
-        "holdout_val_patches": int(len(Xv)),
-        "rams_cpsnr_holdout": round(rams_psnr, 4),
-        "bicubic_cpsnr_holdout": round(bicubic_psnr, 4),
-        "gain_db": round(rams_psnr - bicubic_psnr, 4),
+        "probe_patches": int(len(Xv)),
+        "rams_cpsnr_trained_on_patient": round(rams_psnr, 4),
+        "bicubic_cpsnr_same_patches": round(bicubic_psnr, 4),
+        "margin_db": round(rams_psnr - bicubic_psnr, 4),
         "anchor_sequential_split_cpsnr": 28.0704,
+        "interpretation": (
+            "the probe patient WAS in the committed artifact's training set "
+            "(the historical sequential split trains on all patients except "
+            "the first-10% patches); trained-on patches scoring BELOW the "
+            "never-trained sequential-val shows no memorization inflation — "
+            "the spread is patient difficulty. True held-out generalization "
+            "requires retraining with train_misr --split patient (now the "
+            "default; queued in scripts/tpu_queue.sh)."
+        ),
     }
-    os.makedirs(os.path.join(repo, "results", "round3_rams"), exist_ok=True)
     path = os.path.join(repo, "results", "round3_rams", "holdout_eval.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     json.dump(out, open(path, "w"), indent=1)
-    print(json.dumps(out), flush=True)
+    print(json.dumps({k: v for k, v in out.items() if k != "interpretation"}),
+          flush=True)
     print("wrote", path)
 
 
