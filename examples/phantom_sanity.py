@@ -29,9 +29,13 @@ import numpy as np
 
 
 def water_phantom(side: int = 64) -> np.ndarray:
+    # zero background (air): keeps masked_ssim_protocol's hr > 0.05 mask on
+    # the object (a 0.05 background normalized by max 0.95 sneaks past the
+    # threshold and silently unmasks the whole frame) and makes the Rayleigh
+    # noise ROI genuinely signal-free
     y, x = (np.mgrid[0:side, 0:side] / side - 0.5) * 2
     r = np.sqrt(x**2 + y**2)
-    return np.where(r < 0.75, 1.0, 0.05).astype(np.float32)
+    return np.where(r < 0.75, 1.0, 0.0).astype(np.float32)
 
 
 def kiwi_phantom(side: int = 64, wedges: int = 12) -> np.ndarray:
@@ -40,31 +44,27 @@ def kiwi_phantom(side: int = 64, wedges: int = 12) -> np.ndarray:
     r = np.sqrt(x**2 + y**2)
     theta = np.arctan2(y, x)
     wedge = 0.5 + 0.35 * np.cos(wedges * theta) * np.clip((r - 0.12) / 0.6, 0, 1)
-    img = np.where(r < 0.72, wedge, 0.05)
+    img = np.where(r < 0.72, wedge, 0.0)  # zero background: see water_phantom
     img = np.where(r < 0.12, 0.95, img)  # core
     img = np.where((r >= 0.72) & (r < 0.8), 0.35, img)  # rind
     return img.astype(np.float32)
 
 
 def acquisitions(img: np.ndarray, num_acq: int = 9, seed: int = 0) -> np.ndarray:
-    from mri_super_resolution_tpu.data.synthetic import _subpixel_shift2d
+    """The SAME acquisition model as the patient data: shifts + Rician via
+    data/synthetic.acquisitions_from_b0 (b=0 -> no diffusion decay; no
+    outliers), instead of a drifting private re-implementation."""
+    from mri_super_resolution_tpu.data.synthetic import acquisitions_from_b0
 
-    rng = np.random.default_rng(seed)
-    sigma = 0.02
-    out = np.empty(img.shape + (num_acq,), np.float32)
-    for a in range(num_acq):
-        dx, dy = rng.normal(0.0, 0.5, size=2)
-        moved = _subpixel_shift2d(img, dx, dy)
-        re = moved + rng.normal(0.0, sigma, img.shape)
-        im = rng.normal(0.0, sigma, img.shape)
-        out[..., a] = np.sqrt(re**2 + im**2)
-    return out
+    return acquisitions_from_b0(
+        img[:, :, None], num_acq, b=0.0, seed=seed,
+        noise_sigma_frac=0.02, shift_sigma=0.5, outlier_prob=0.0,
+    )[:, :, 0, :]
 
 
 def run_phantom(name: str, img: np.ndarray, out_dir: str) -> dict:
     import jax.numpy as jnp
 
-    from mri_super_resolution_tpu.core.interp import rescale
     from mri_super_resolution_tpu.core.metrics import masked_ssim_protocol
     from mri_super_resolution_tpu.pipelines import inr_erd, lowres_qual
 
@@ -77,7 +77,7 @@ def run_phantom(name: str, img: np.ndarray, out_dir: str) -> dict:
         contralateral_loc=(H // 4, W // 4),
         noise=(4, 4),
         cancer_slice=0,
-        b0=np.repeat((img + 0.1)[:, :, None], 1, axis=2),
+        b0=(img + 0.1)[:, :, None],
         b3=acq[:, :, None, :],
     )
     cfg = lowres_qual.LowresQualConfig(loss_threshold=2e-4, phase2_steps=50,

@@ -55,6 +55,15 @@ def main(argv=None):
     coords = mgrid((H, W))
     target = jnp.asarray(img.reshape(-1, 1))
 
+    # bicubic reference point: downsample 2x and spline back up — the
+    # trivial interpolation any INR fit must beat (wiretest.ipynb baseline)
+    from mri_super_resolution_tpu.core.interp import rescale
+
+    lr_img = rescale(jnp.asarray(img), 0.5, anti_aliasing=True)
+    bicubic = rescale(lr_img, 2, anti_aliasing=True)[:H, :W]
+    print(f"bicubic(2x) baseline: PSNR "
+          f"{float(psnr(jnp.asarray(img), bicubic)):.2f} dB")
+
     results = {}
     for name, model, lr in (
         ("SIREN", Siren(hidden_features=args.hidden, hidden_layers=2), 3e-4),
