@@ -161,14 +161,22 @@ def conv3d_same_rfab(x, kernel, bias, interpret=None, compute_dtype=None):
 # ---------------------------------------------------------------------------
 
 
+BWD_M_CHUNK = 512  # rows per backward sub-block; bounds scoped VMEM (the
+# full-plane variant allocated ~18M of stack at the RAMS shapes — over the
+# 16M scoped-vmem limit on v5e; see results/round3_rams/conv_kernel_ab.json)
+
+
 def _conv_bwd_kernel(Tout: int, M: int, C: int, Cout: int, Win: int,
                      compute_dtype):
-    def kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref, db_ref, a_ref, da_ref):
+    chunks = [(m0, min(BWD_M_CHUNK, M - m0))
+              for m0 in range(0, M, BWD_M_CHUNK)]
+
+    def kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref, db_ref, a_ref):
         # x_ref: (1, Tin, P_in, C); w_ref: (TAPS*C, Cout)
         # g_ref: (1, Tout, M, Cout) cotangent planes (cropped cols zeroed)
         # dx_ref: (1, Tin, P_in, C) f32; dw_ref: (TAPS*C, Cout) f32 (accum
         # across the batch grid); db_ref: (1, Cout) f32
-        # a_ref: (M, TAPS*C) operand rebuild; da_ref: (M, TAPS*C) f32
+        # a_ref: (BWD_M_CHUNK, TAPS*C) operand rebuild scratch
         b = pl.program_id(0)
 
         @pl.when(b == 0)
@@ -181,39 +189,42 @@ def _conv_bwd_kernel(Tout: int, M: int, C: int, Cout: int, Win: int,
         if compute_dtype is not None:
             w = w.astype(compute_dtype)
         for t in range(Tout):
-            g = g_ref[0, t]
-            gc = g.astype(w.dtype)
-            # rebuild the forward operand A for this plane (recompute >
-            # stash: A is 27x the activation size)
-            i = 0
-            for dz in range(3):
-                plane = x_ref[0, t + dz]
-                for dy in range(3):
-                    for dx in range(3):
-                        off = dy * Win + dx
-                        a_ref[:, i * C:(i + 1) * C] = plane[off:off + M, :]
-                        i += 1
-            a = a_ref[:]
-            if compute_dtype is not None:
-                a = a.astype(compute_dtype)
-            # dW += A^T G ; db += sum G
-            dw_ref[:] += jax.lax.dot_general(
-                a, gc, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            db_ref[:] += jnp.sum(g.astype(jnp.float32), axis=0,
+            db_ref[:] += jnp.sum(g_ref[0, t].astype(jnp.float32), axis=0,
                                  keepdims=True)
-            # dA = G W^T, scatter-add the 27 shifted column blocks into dx
-            da_ref[:] = jax.lax.dot_general(
-                gc, w, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            i = 0
-            for dz in range(3):
-                for dy in range(3):
-                    for dx in range(3):
-                        off = dy * Win + dx
-                        dx_ref[0, t + dz, off:off + M, :] += \
-                            da_ref[:, i * C:(i + 1) * C]
-                        i += 1
+            # row sub-blocks keep the operand rebuild + f32 dA inside the
+            # scoped-VMEM budget; every offset stays static
+            for m0, mc in chunks:
+                gc = g_ref[0, t, m0:m0 + mc, :].astype(w.dtype)
+                # rebuild the forward operand A for this sub-block
+                # (recompute > stash: A is 27x the activation size)
+                i = 0
+                for dz in range(3):
+                    plane = x_ref[0, t + dz]
+                    for dy in range(3):
+                        for dx in range(3):
+                            off = dy * Win + dx + m0
+                            a_ref[:mc, i * C:(i + 1) * C] = \
+                                plane[off:off + mc, :]
+                            i += 1
+                a = a_ref[:mc]
+                if compute_dtype is not None:
+                    a = a.astype(compute_dtype)
+                # dW += A^T G
+                dw_ref[:] += jax.lax.dot_general(
+                    a, gc, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                # dA = G W^T, scatter-add the 27 shifted column blocks
+                da = jax.lax.dot_general(
+                    gc, w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                i = 0
+                for dz in range(3):
+                    for dy in range(3):
+                        for dx in range(3):
+                            off = dy * Win + dx + m0
+                            dx_ref[0, t + dz, off:off + mc, :] += \
+                                da[:, i * C:(i + 1) * C]
+                            i += 1
 
     return kernel
 
@@ -267,8 +278,7 @@ def conv3d_rfab_bwd(x: Array, kernel: Array, g: Array, padding: str = "SAME",
             pl.BlockSpec((1, Cout), lambda b: (0, 0), memory_space=ms),
         ),
         scratch_shapes=[
-            pltpu.VMEM((M, TAPS * C), x.dtype),
-            pltpu.VMEM((M, TAPS * C), jnp.float32),
+            pltpu.VMEM((min(M, BWD_M_CHUNK), TAPS * C), x.dtype),
         ],
         interpret=interpret,
     )(xp, wf, gp)
