@@ -60,6 +60,16 @@ class PIA(nn.Module):
     T2_delta: Sequence[float] = T2_DELTA
     b_values: Sequence[float] = B_VALUES
     TE_values: Sequence[float] = TE_VALUES
+    # Documented deviation from PIA.py: the encoder input is scaled by the
+    # known S0 amplitude (signal_model's 1000x factor) so activations are
+    # O(1). With raw ~1000-scale signals and variance-preserving init, the
+    # head logits saturate tanh/softmax at step 0 and training collapses to
+    # a constant prediction (measured: v stuck at one-hot, signal RMSE 131
+    # vs NLLS's 38 after 4000 Adam steps). The reference model has the same
+    # scale problem under torch's default init; its training loop is not in
+    # the repo. Scaling only the encoder INPUT changes no physics: the
+    # decoder and losses still operate on raw-scale signals.
+    input_scale: float = 1e-3
 
     def _head(self, x: Array, name: str) -> Array:
         for i in range(self.predictor_depth):
@@ -69,7 +79,7 @@ class PIA(nn.Module):
 
     @nn.compact
     def encode(self, x: Array) -> tuple[Array, Array, Array]:
-        h = x
+        h = x * self.input_scale
         for i, dim in enumerate(self.hidden_dims):
             h = nn.Dense(dim, name=f"enc_{i}")(h)
             h = nn.leaky_relu(h, negative_slope=0.01)
