@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--noise_std", type=float, default=0.1)
+    p.add_argument("--noise_range", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="train with per-voxel sigma log-uniform in [LO, HI] "
+                   "(one encoder for all noise levels) instead of --noise_std")
     p.add_argument("--unsupervised", action="store_true",
                    help="signal-only loss instead of supervised D/T2/v loss")
     p.add_argument("--finetune_hybrid", default=None,
@@ -43,6 +47,7 @@ def main(argv=None):
     res = pia_train.train_synthetic(
         model, jax.random.key(args.seed), steps=args.steps,
         batch_size=args.batch_size, lr=args.lr, noise_std=args.noise_std,
+        noise_range=tuple(args.noise_range) if args.noise_range else None,
         supervised=not args.unsupervised,
     )
     print(f"pretrain: loss {float(res.losses[0]):.4f} -> {float(res.losses[-1]):.4f}")

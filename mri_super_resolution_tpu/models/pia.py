@@ -118,9 +118,13 @@ def pia_loss_supervised(
     return loss_signal + loss_D + 1e-4 * loss_T2 + 0.2 * loss_v
 
 
-def synthetic_batch(key: jax.Array, batch_size: int = 16, noise_std: float = 0.1):
+def synthetic_batch(key: jax.Array, batch_size: int = 16, noise_std=0.1):
     """Synthetic training batch (PIA.py:171-213): uniform physiological draws,
-    normalised volume fractions, additive Gaussian noise on the 1000x signal."""
+    normalised volume fractions, additive Gaussian noise on the 1000x signal.
+
+    ``noise_std``: scalar, or an array broadcastable against the
+    ``(batch_size, 16)`` signal (e.g. ``(batch_size, 1)`` per-voxel sigmas
+    for noise-range training)."""
     ks = jax.random.split(key, 10)
     u = lambda k, lo, hi: jax.random.uniform(k, (batch_size,), minval=lo, maxval=hi)
     D = jnp.stack([u(ks[0], 0.3, 0.7), u(ks[1], 0.7, 1.7), u(ks[2], 2.7, 3.0)], -1)

@@ -37,8 +37,17 @@ def train_synthetic(
     lr: float = 1e-4,
     noise_std: float = 0.1,
     supervised: bool = True,
+    noise_range: tuple[float, float] | None = None,
 ) -> PIATrainResult:
-    """Pretrain on synthetic 3-compartment draws (PIA.py:171-213 data)."""
+    """Pretrain on synthetic 3-compartment draws (PIA.py:171-213 data).
+
+    ``noise_range=(lo, hi)``: instead of the reference's fixed noise level,
+    sample a per-voxel sigma log-uniformly in [lo, hi] each step. A
+    fixed-noise encoder plateaus at its training-noise recovery error even
+    on cleaner test signals (results/round3_pia/recovery.json); range
+    training makes one amortized encoder track the NLLS accuracy curve
+    across noise levels. Default None keeps the reference behavior.
+    """
     kinit, kdata = jax.random.split(key)
     sample, *_ = synthetic_batch(kinit, batch_size, noise_std)
     params = model.init(kinit, sample)
@@ -48,7 +57,15 @@ def train_synthetic(
     def run(params):
         def step(carry, k):
             params, opt_state = carry
-            sig, D, T2, v, clean = synthetic_batch(k, batch_size, noise_std)
+            if noise_range is not None:
+                kn, k = jax.random.split(k)
+                lo, hi = noise_range
+                sigma = jnp.exp(jax.random.uniform(
+                    kn, (batch_size, 1),
+                    minval=jnp.log(lo), maxval=jnp.log(hi)))
+            else:
+                sigma = noise_std
+            sig, D, T2, v, clean = synthetic_batch(k, batch_size, sigma)
 
             def loss_fn(p):
                 pred_sig, _, pD, pT2, pv = model.apply(p, sig)

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--noise_std", type=float, default=0.1,
                     help="training noise level (PIA.py:208 scale)")
+    ap.add_argument("--noise_range", type=float, nargs=2, default=None,
+                    metavar=("LO", "HI"),
+                    help="train with per-voxel sigma log-uniform in [LO, HI] "
+                    "instead of the fixed level (pia_train.train_synthetic)")
     ap.add_argument("--eval_noise", type=float, nargs="+",
                     default=[0.1, 0.03, 0.01],
                     help="test noise levels: the same trained encoder and the "
@@ -69,7 +73,9 @@ def main():
     print(f"training PIA: {args.train_steps} steps x {args.batch_size} "
           f"(noise_std={args.noise_std})", flush=True)
     res = train_synthetic(model, key, steps=args.train_steps,
-                          batch_size=args.batch_size, noise_std=args.noise_std)
+                          batch_size=args.batch_size, noise_std=args.noise_std,
+                          noise_range=tuple(args.noise_range)
+                          if args.noise_range else None)
     losses = np.asarray(res.losses)
     print(f"loss: {losses[0]:.4g} -> {losses[-1]:.4g}", flush=True)
 
@@ -78,6 +84,7 @@ def main():
             "train_steps": args.train_steps,
             "batch_size": args.batch_size,
             "train_noise_std": args.noise_std,
+            "train_noise_range": args.noise_range,
             "eval_noise_std": args.eval_noise,
             "n_test": args.n_test,
             "compartments": ["epithelium", "stroma", "lumen"],

@@ -3,7 +3,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mri_super_resolution_tpu.models.pia import PIA
+from mri_super_resolution_tpu.models.pia import PIA, synthetic_batch
 from mri_super_resolution_tpu.ops.nlls import hybrid_fit, model_signal, P0, LO, HI, BVALS, TES
 from mri_super_resolution_tpu.ops.pids import detect_pids_slice, pids_weight_map
 from mri_super_resolution_tpu.pipelines.pia_train import train_synthetic, predict_maps
@@ -105,6 +105,22 @@ class TestPIATraining:
         model = PIA(hidden_dims=(16, 32), predictor_depth=1)
         res = train_synthetic(model, jax.random.key(0), steps=80, batch_size=64)
         assert float(res.losses[-10:].mean()) < float(res.losses[:10].mean())
+
+    def test_noise_range_training_reduces_loss(self):
+        """Per-voxel log-uniform sigma draw (noise_range) trains too."""
+        model = PIA(hidden_dims=(16, 32), predictor_depth=1)
+        res = train_synthetic(model, jax.random.key(0), steps=80,
+                              batch_size=64, noise_range=(0.01, 0.1))
+        assert float(res.losses[-10:].mean()) < float(res.losses[:10].mean())
+
+    def test_synthetic_batch_per_sample_sigma(self):
+        """noise_std broadcasts per-voxel: zero-sigma rows equal clean."""
+        import jax.numpy as jnp
+
+        sigma = jnp.concatenate([jnp.zeros((8, 1)), jnp.full((8, 1), 0.1)])
+        sig, _, _, _, clean = synthetic_batch(jax.random.key(1), 16, sigma)
+        np.testing.assert_allclose(np.asarray(sig[:8]), np.asarray(clean[:8]))
+        assert float(jnp.abs(sig[8:] - clean[8:]).mean()) > 1.0
 
     def test_predict_maps_shapes(self):
         model = PIA(hidden_dims=(16, 32))
