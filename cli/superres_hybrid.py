@@ -28,6 +28,7 @@ from mri_super_resolution_tpu.pipelines import superres3d
 from mri_super_resolution_tpu.pipelines.hybrid import (
     HybridConfig,
     fit_all_te,
+    make_pia_fitter,
     mean_over_acquisitions,
     tissue_maps,
 )
@@ -67,6 +68,15 @@ def main(argv=None):
     p.add_argument("--slices", type=int, nargs="*", default=None,
                    help="slice indices for tissue maps (default: middle slice)")
     p.add_argument("--nlls_iters", type=int, default=40)
+    p.add_argument("--tissue_fit", choices=("nlls", "pia"), default="nlls",
+                   help="3-compartment fitter for tissue maps: the projected-LM "
+                   "NLLS (reference behavior) or the amortized PIA encoder "
+                   "(~63x faster at production voxel counts; "
+                   "results/round3_pia/recovery_rangetrain.json)")
+    p.add_argument("--pia_ckpt", default=None,
+                   help="params pytree for --tissue_fit pia (cli/pia.py --out); "
+                   "else a fresh noise-range pretrain runs first")
+    p.add_argument("--pia_train_steps", type=int, default=4000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="hybrid_results")
     args = p.parse_args(argv)
@@ -108,6 +118,12 @@ def main(argv=None):
     if not patients:
         p.error("no patients found")
 
+    fitter = None
+    if args.tissue_fit == "pia":
+        fitter = make_pia_fitter(params_path=args.pia_ckpt,
+                                 train_steps=args.pia_train_steps,
+                                 seed=args.seed)
+
     for pt_id, hybrid_all, bvalues in patients:
         out_dir = os.path.join(args.out, f"pat{pt_id}")
         os.makedirs(out_dir, exist_ok=True)
@@ -117,7 +133,7 @@ def main(argv=None):
         slices = args.slices if args.slices else [S // 2]
         for _slice in slices:
             maps = tissue_maps(result, bvalues, _slice=_slice,
-                               nlls_iters=cfg.nlls_iters)
+                               nlls_iters=cfg.nlls_iters, fitter=fitter)
             np.savez_compressed(
                 os.path.join(out_dir, f"maps_slice_{_slice}.npz"),
                 D=maps.D, T2=maps.T2, v=maps.v, adc=maps.adc, cancer=maps.cancer,

@@ -150,6 +150,20 @@ class TestHybridPipeline:
         assert maps.cancer.dtype == bool
         np.testing.assert_allclose(maps.v.sum(-1), 1.0, atol=1e-4)
 
+    def test_tissue_maps_pia_fitter(self, rng):
+        """make_pia_fitter drops into tissue_maps in place of the NLLS."""
+        from mri_super_resolution_tpu.pipelines.hybrid import (
+            HybridResult, make_pia_fitter, tissue_maps)
+
+        rh = rng.uniform(10, 1000, (8, 8, 2, 4, 4)).astype(np.float32)
+        result = HybridResult(recon_hybrid=rh, maxes=np.ones((2, 4, 4)))
+        fitter = make_pia_fitter(train_steps=30)
+        maps = tissue_maps(result, np.asarray([0.0, 150.0, 1000.0, 1500.0]),
+                           _slice=1, fitter=fitter)
+        assert maps.D.shape == (8, 8, 3) and maps.v.shape == (8, 8, 3)
+        np.testing.assert_allclose(maps.v.sum(-1), 1.0, atol=1e-4)
+        assert maps.cancer.dtype == bool
+
     def test_remove_small_objects(self):
         mask = np.zeros((10, 10), bool)
         mask[0:4, 0:4] = True  # 16 px, kept
