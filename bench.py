@@ -143,6 +143,28 @@ def measure_wire(steps: int) -> float:
     return coords.shape[0] * steps / sec
 
 
+def measure_pia(n_voxels: int = 65536, train_steps: int = 300) -> float:
+    """PIA amortized tissue-parameter inference (encode) throughput.
+
+    The capability PIA.py:16-155 exists for: replacing the per-voxel
+    curve_fit loop. Recovery-accuracy evidence is
+    results/round3_pia/recovery_rangetrain.json; this line tracks the
+    speed side (~745k voxels/s/chip vs the vmapped NLLS's 11k)."""
+    import jax
+
+    from mri_super_resolution_tpu.models.pia import PIA, synthetic_batch
+    from mri_super_resolution_tpu.pipelines.pia_train import train_synthetic
+    from mri_super_resolution_tpu.utils import time_jitted
+
+    model = PIA()
+    res = train_synthetic(model, jax.random.key(0), steps=train_steps)
+    sig, *_ = synthetic_batch(jax.random.key(1), n_voxels, 0.05)
+    sig = jax.device_put(sig)
+    enc = jax.jit(lambda x: model.apply(res.params, x, method=model.encode))
+    sec = time_jitted(lambda: enc(sig), repeats=3, warmup=1)
+    return n_voxels / sec
+
+
 def measure_rams(steps: int) -> float:
     """MISR trainer step throughput (patches/sec): RAMS at the reference
     config (multi-image-super-resolution/master.py:20-27 — scale 3, F=32,
@@ -287,6 +309,17 @@ def main():
                     }
                 )
             )
+        print(
+            json.dumps(
+                {
+                    "metric": "pia_inference_voxels_per_sec_per_chip",
+                    "value": round(measure_pia(
+                        4096 if args.quick else 65536,
+                        train_steps=30 if args.quick else 300), 1),
+                    "unit": "voxels/sec/chip",
+                }
+            )
+        )
         rams_pps = measure_rams(10 if args.quick else 50)
         # roofline context (VERDICT r2 #1): analytic conv FLOPs at the
         # reference config ~384 G per train step; the architecture's
