@@ -1,0 +1,109 @@
+"""CLI wiring smoke tests.
+
+The pipelines under the CLIs have their own integration tests; what was
+untested until now is the argparse layer itself — flag names, defaults,
+and the args -> config -> pipeline wiring inside each ``main()``. The
+reference drives everything through exactly these entry points
+(implicit-neural-representations/master.py:25-41, run.sh:1-19), so a
+broken flag is a broken product even when the library is green.
+
+Two tiers:
+  * every CLI parses ``--help`` (catches import errors, duplicate or
+    malformed ``add_argument`` calls, bad ``description=__doc__`` wiring);
+  * the cheap CLIs run end-to-end on tiny inputs (david, analyze_results,
+    inr_toy) so the args->pipeline plumbing is executed, not just parsed.
+"""
+from __future__ import annotations
+
+import csv
+import importlib
+import os
+
+import pytest
+
+CLI_MODULES = [
+    "cli.analyze_results",
+    "cli.automate_inr",
+    "cli.cohort_run",
+    "cli.david",
+    "cli.inr_erd",
+    "cli.inr_toy",
+    "cli.master",
+    "cli.misr_master",
+    "cli.pia",
+    "cli.prepare_qual_images",
+    "cli.select_lrs",
+    "cli.superres_dwi",
+    "cli.superres_hybrid",
+    "cli.superres_lowres",
+    "cli.train_misr",
+]
+
+
+@pytest.mark.parametrize("module_name", CLI_MODULES)
+def test_help_parses(module_name, capsys):
+    mod = importlib.import_module(module_name)
+    with pytest.raises(SystemExit) as exc:
+        mod.main(["--help"])
+    assert exc.value.code == 0
+    out = capsys.readouterr().out
+    assert "--help" in out or "usage" in out.lower()
+
+
+def test_david_end_to_end(tmp_path):
+    """ERD-only contrast stats: full args -> load_cases -> erd_stats.run."""
+    mod = importlib.import_module("cli.david")
+    mod.main(
+        [
+            "--limit_cases",
+            "1",
+            "--out_folder",
+            str(tmp_path),
+            "--experiment_name",
+            "smoke",
+        ]
+    )
+    csvs = [f for f in os.listdir(tmp_path) if f.endswith(".csv")]
+    assert csvs, "david CLI wrote no metrics CSV"
+
+
+def test_analyze_results_end_to_end(tmp_path):
+    """master.py-schema CSV -> summary tables + barplot PNGs."""
+    path = tmp_path / "metrics.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["seed", "patient", "direction", "image", "metric", "performance"])
+        for seed in (0, 1):
+            for image in ("low", "SR"):
+                for metric, val in (("C", 1.2), ("CNR", 3.4), ("CNR2", 5.6)):
+                    w.writerow([seed, "07", "x", image, metric, val + seed * 0.1])
+    out_dir = tmp_path / "analysis"
+    mod = importlib.import_module("cli.analyze_results")
+    mod.main([str(path), "--metrics", "C", "CNR", "--out_dir", str(out_dir)])
+    assert (out_dir / "C.png").exists()
+    assert (out_dir / "CNR.png").exists()
+
+
+def test_inr_toy_end_to_end(tmp_path):
+    """Tiny synthetic fit: one scan chunk, early-stop check, orbax save."""
+    mod = importlib.import_module("cli.inr_toy")
+    out = tmp_path / "toy_model"
+    mod.main(
+        [
+            "--side",
+            "16",
+            "--num_acq",
+            "2",
+            "--hidden_features",
+            "16",
+            "--hidden_layers",
+            "1",
+            "--check_every",
+            "5",
+            "--max_steps",
+            "10",
+            "--out",
+            str(out),
+        ]
+    )
+    assert out.exists(), "inr_toy saved no checkpoint"
