@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Export a fitted model as a self-contained serving artifact (jax.export).
+
+The reference's deployment story is torch.save state_dicts
+(implicit-neural-representations/INR_ERD.py:219-220) and in-process TF
+checkpoint restores (multi-image-super-resolution/master.py:30-35) — both
+require the full source tree at serving time. This CLI writes a serialized
+StableHLO artifact (params baked in, symbolic batch dim) that any JAX
+process can run without this repo's model code. See
+mri_super_resolution_tpu/serve.py.
+
+Examples:
+  # INR fitted by cli/inr_toy.py (orbax params dir):
+  python cli/export_model.py inr --params /tmp/toy_model --out /tmp/toy_art \
+      --hidden_features 128 --hidden_layers 3 --check
+
+  # the committed RAMS artifact at the reference patch size:
+  python cli/export_model.py rams --out /tmp/rams_art --height 96 --width 96 --check
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mri_super_resolution_tpu import serve
+from mri_super_resolution_tpu.config import RAMSConfig
+from mri_super_resolution_tpu.core.coords import fourier_encode
+from mri_super_resolution_tpu.models import Siren, SirenToy
+from mri_super_resolution_tpu.pipelines.misr import build_rams
+from mri_super_resolution_tpu.utils import restore_pytree
+
+
+def _check(served_path: str, live_fn, example_x, tol_rel: float = 1e-4) -> None:
+    """Compare the loaded artifact against the live apply.
+
+    The artifact and the live function are SEPARATELY compiled programs, so
+    bit-identity is not expected; ``tol_rel`` should sit at the compile-
+    variance level of the model's compute dtype (f32 INRs ~1e-4; RAMS runs
+    bf16 activations and TPU f32 convs default to bf16 passes, so ~1e-2).
+    """
+    served = serve.load(served_path)
+    got = np.asarray(served(example_x))
+    want = np.asarray(live_fn(example_x))
+    scale = max(float(np.max(np.abs(want))), 1e-12)
+    err = float(np.max(np.abs(got - want))) / scale
+    status = "OK" if err <= tol_rel else "MISMATCH"
+    print(f"roundtrip check: max rel err {err:.2e} [{status}]")
+    if status != "OK":
+        raise SystemExit(1)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="kind", required=True)
+
+    pi = sub.add_parser("inr", help="coordinate-INR artifact: (n, d) -> (n, out)")
+    pi.add_argument("--params", required=True, help="orbax pytree dir (e.g. inr_toy --out)")
+    pi.add_argument("--model", choices=["siren", "siren_toy"], default="siren_toy")
+    pi.add_argument("--hidden_features", type=int, default=128)
+    pi.add_argument("--hidden_layers", type=int, default=3)
+    pi.add_argument("--coord_dim", type=int, default=2)
+    pi.add_argument("--out_features", type=int, default=1)
+    pi.add_argument("--first_omega_0", type=float, default=30.0)
+    pi.add_argument("--hidden_omega_0", type=float, default=30.0)
+    pi.add_argument("--fourier_B", default=None, help="optional .npy Fourier matrix")
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--platforms", nargs="*", default=None,
+                    help="e.g. tpu cpu (default: current backend + cpu)")
+    pi.add_argument("--check", action="store_true", help="roundtrip-verify the artifact")
+
+    pr = sub.add_parser("rams", help="RAMS artifact: (b, H, W, T) -> (b, sH, sW, 1)")
+    pr.add_argument("--params", default=None,
+                    help="orbax params dir (default: committed artifacts/rams_dwi_params)")
+    pr.add_argument("--height", type=int, default=96)
+    pr.add_argument("--width", type=int, default=96)
+    pr.add_argument("--filters", type=int, default=32)
+    pr.add_argument("--N", type=int, default=12)
+    pr.add_argument("--channels", type=int, default=9)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--platforms", nargs="*", default=None)
+    pr.add_argument("--check", action="store_true")
+
+    args = p.parse_args(argv)
+
+    if args.kind == "inr":
+        cls = {"siren": Siren, "siren_toy": SirenToy}[args.model]
+        model = cls(
+            hidden_features=args.hidden_features,
+            hidden_layers=args.hidden_layers,
+            out_features=args.out_features,
+            first_omega_0=args.first_omega_0,
+            hidden_omega_0=args.hidden_omega_0,
+        )
+        params = restore_pytree(os.path.abspath(args.params))
+        B = None if args.fourier_B is None else jnp.asarray(np.load(args.fourier_B))
+        manifest = serve.export_inr(
+            model.apply, params, args.coord_dim, args.out,
+            fourier_B=B, out_features=args.out_features,
+            platforms=args.platforms,
+            model_desc=f"{args.model} {args.hidden_features}x{args.hidden_layers}",
+        )
+        print(f"exported {manifest['kind']} artifact -> {args.out} "
+              f"(platforms {manifest['platforms']})")
+        if args.check:
+            coords = jax.random.uniform(
+                jax.random.key(0), (257, args.coord_dim), minval=-1.0)
+            _check(args.out,
+                   lambda c: model.apply(params, fourier_encode(c, B)), coords)
+    else:
+        # build through the same path as misr_master so the artifact runs the
+        # production compute_dtype (bfloat16 activations) and layout
+        model = build_rams(
+            RAMSConfig(filters=args.filters, N=args.N, channels=args.channels))
+        params_dir = args.params or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "artifacts", "rams_dwi_params")
+        params = restore_pytree(os.path.abspath(params_dir))
+        if isinstance(params, dict) and "params" in params and "step" in params:
+            params = params["params"]
+        manifest = serve.export_rams(
+            model.apply, params, args.out,
+            height=args.height, width=args.width, channels=args.channels,
+            platforms=args.platforms,
+            model_desc=f"RAMS F={args.filters} N={args.N}",
+        )
+        print(f"exported {manifest['kind']} artifact -> {args.out} "
+              f"(platforms {manifest['platforms']})")
+        if args.check:
+            x = jax.random.uniform(
+                jax.random.key(0), (2, args.height, args.width, args.channels)) * 5000
+            _check(args.out, lambda v: model.apply(params, v), x, tol_rel=1e-2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Serving: serialized, self-contained inference artifacts via ``jax.export``.
+
+The reference has no deployment story: serving a fitted INR means shipping
+the full source tree plus a ``torch.save`` state_dict and re-instantiating
+the module in-process (implicit-neural-representations/INR_ERD.py:219-220,
+inr_toy.py:114-115), and the MISR side restores a TF checkpoint into
+freshly-built Keras code (multi-image-super-resolution/master.py:30-35).
+Either way the consumer needs the exact model code and framework version.
+
+The TPU-native equivalent is :func:`jax.export.export`: trace the inference
+function ONCE (fitted params baked in as constants), serialize the StableHLO
+module to bytes, and run it later from any process — no model code, no flax,
+no re-trace — on whichever platforms it was lowered for. StableHLO carries
+jax.export's compatibility window (exported artifacts keep loading on newer
+JAX releases), which makes these artifacts durable deployment objects rather
+than pickles.
+
+Artifacts are directories::
+
+    <out>/
+      module.jaxexport   # serialized Exported (StableHLO + calling conv)
+      manifest.json      # kind, input spec, platforms, jax version
+
+The batch dimension is exported SYMBOLICALLY, so one artifact serves any
+number of coordinates / any inference batch: an INR artifact maps
+``(n, d) float32`` coords to ``(n, out) float32`` for every ``n``, and a
+RAMS artifact maps ``(b, H, W, T) float32`` to ``(b, sH, sW, 1)`` for every
+``b`` (H, W are fixed at export; convolution padding shapes are static).
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from .core.coords import fourier_encode
+
+_MODULE_FILE = "module.jaxexport"
+_MANIFEST_FILE = "manifest.json"
+
+
+def _default_platforms() -> tuple[str, ...]:
+    plat = jax.default_backend()
+    return (plat,) if plat == "cpu" else (plat, "cpu")
+
+
+def export_fn(
+    fn: Callable,
+    args_spec: Sequence[jax.ShapeDtypeStruct],
+    out_dir: str,
+    *,
+    kind: str,
+    platforms: Sequence[str] | None = None,
+    extra_manifest: dict | None = None,
+) -> dict:
+    """Export ``fn`` at ``args_spec`` and write the artifact directory.
+
+    Returns the manifest dict. ``fn`` must be jittable; any fitted
+    parameters should be closed over (they are baked into the module as
+    constants, making the artifact self-contained).
+    """
+    platforms = tuple(platforms) if platforms else _default_platforms()
+    exported = jax_export.export(jax.jit(fn), platforms=platforms)(*args_spec)
+    blob = exported.serialize()
+
+    manifest = {
+        "kind": kind,
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "calling_convention_version": exported.calling_convention_version,
+        "in_avals": [
+            {"shape": [str(d) for d in s.shape], "dtype": str(s.dtype)}
+            for s in args_spec
+        ],
+        "out_avals": [
+            {"shape": [str(d) for d in a.shape], "dtype": str(a.dtype)}
+            for a in exported.out_avals
+        ],
+    }
+    if extra_manifest:
+        manifest.update(extra_manifest)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _MODULE_FILE), "wb") as f:
+        f.write(blob)
+    with open(os.path.join(out_dir, _MANIFEST_FILE), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def export_inr(
+    apply_fn: Callable,
+    params: Any,
+    coord_dim: int,
+    out_dir: str,
+    *,
+    fourier_B: jax.Array | None = None,
+    out_features: int = 1,
+    platforms: Sequence[str] | None = None,
+    model_desc: str = "",
+) -> dict:
+    """Export a fitted coordinate-INR as ``coords (n, d) -> (n, out)``.
+
+    ``fourier_B`` (if the fit used Fourier features) is baked in alongside
+    the params, so the artifact consumes RAW coordinates — the consumer
+    does not need to know the encoding. The batch dim ``n`` is symbolic.
+    """
+    B = None if fourier_B is None else jnp.asarray(fourier_B)
+
+    def infer(coords):
+        return apply_fn(params, fourier_encode(coords, B))
+
+    (n,) = jax_export.symbolic_shape("n")
+    spec = jax.ShapeDtypeStruct((n, coord_dim), jnp.float32)
+    return export_fn(
+        infer,
+        [spec],
+        out_dir,
+        kind="inr",
+        platforms=platforms,
+        extra_manifest={
+            "coord_dim": coord_dim,
+            "out_features": out_features,
+            "fourier_features": None if B is None else list(B.shape),
+            "model": model_desc,
+        },
+    )
+
+
+def export_rams(
+    apply_fn: Callable,
+    params: Any,
+    out_dir: str,
+    *,
+    height: int,
+    width: int,
+    channels: int = 9,
+    scale: int = 3,
+    platforms: Sequence[str] | None = None,
+    model_desc: str = "",
+) -> dict:
+    """Export a trained RAMS as ``(b, H, W, T) -> (b, sH, sW, 1)``.
+
+    H/W are static (conv padding and depth_to_space shapes bake in); the
+    inference batch ``b`` is symbolic so one artifact serves the reference's
+    25-draw ensemble (multi-image-super-resolution/master.py:45-52) or any
+    other batching in one call.
+    """
+
+    def infer(x):
+        return apply_fn(params, x)
+
+    (b,) = jax_export.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((b, height, width, channels), jnp.float32)
+    return export_fn(
+        infer,
+        [spec],
+        out_dir,
+        kind="rams",
+        platforms=platforms,
+        extra_manifest={
+            "height": height,
+            "width": width,
+            "channels": channels,
+            "scale": scale,
+            "model": model_desc,
+        },
+    )
+
+
+@dataclass
+class Served:
+    """A loaded artifact: ``call`` runs the deserialized module under jit."""
+
+    manifest: dict
+    exported: Any
+
+    def __post_init__(self):
+        self._jitted = jax.jit(self.exported.call)
+
+    def __call__(self, *args):
+        return self._jitted(*args)
+
+
+def load(path: str) -> Served:
+    """Load an artifact directory written by :func:`export_fn`."""
+    with open(os.path.join(path, _MODULE_FILE), "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    with open(os.path.join(path, _MANIFEST_FILE)) as f:
+        manifest = json.load(f)
+    return Served(manifest=manifest, exported=exported)

@@ -26,6 +26,7 @@ CLI_MODULES = [
     "cli.automate_inr",
     "cli.cohort_run",
     "cli.david",
+    "cli.export_model",
     "cli.inr_erd",
     "cli.inr_toy",
     "cli.master",
@@ -82,6 +83,41 @@ def test_analyze_results_end_to_end(tmp_path):
     mod.main([str(path), "--metrics", "C", "CNR", "--out_dir", str(out_dir)])
     assert (out_dir / "C.png").exists()
     assert (out_dir / "CNR.png").exists()
+
+
+def test_export_model_end_to_end(tmp_path):
+    """save_pytree params -> export_model CLI -> --check roundtrip passes."""
+    import jax
+    import jax.numpy as jnp
+
+    from mri_super_resolution_tpu.models import SirenToy
+    from mri_super_resolution_tpu.utils import save_pytree
+
+    model = SirenToy(hidden_features=16, hidden_layers=1)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 2)))
+    params_dir = tmp_path / "params"
+    save_pytree(str(params_dir), params)
+
+    mod = importlib.import_module("cli.export_model")
+    mod.main(
+        [
+            "inr",
+            "--params",
+            str(params_dir),
+            "--model",
+            "siren_toy",
+            "--hidden_features",
+            "16",
+            "--hidden_layers",
+            "1",
+            "--out",
+            str(tmp_path / "artifact"),
+            "--platforms",
+            "cpu",
+            "--check",
+        ]
+    )
+    assert (tmp_path / "artifact" / "module.jaxexport").exists()
 
 
 def test_inr_toy_end_to_end(tmp_path):

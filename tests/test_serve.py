@@ -1,0 +1,95 @@
+"""Serving-artifact roundtrips (jax.export).
+
+Each test exports a fitted/initialized model, serializes to disk, loads it
+back through the public ``serve.load`` path, and compares against the live
+``model.apply`` — including at a batch size DIFFERENT from any used at
+export time, which is the point of the symbolic batch dimension.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mri_super_resolution_tpu import serve
+from mri_super_resolution_tpu.core.coords import fourier_encode, fourier_matrix
+from mri_super_resolution_tpu.models import RAMS, Siren
+
+
+class TestINRArtifact:
+    def test_roundtrip_matches_live_apply(self, tmp_path):
+        model = Siren(hidden_features=32, hidden_layers=2)
+        coords0 = jnp.zeros((4, 2))
+        B = fourier_matrix(jax.random.key(1), 8, 2)
+        params = model.init(jax.random.key(0), fourier_encode(coords0, B))
+
+        out = str(tmp_path / "inr_artifact")
+        manifest = serve.export_inr(
+            model.apply, params, coord_dim=2, out_dir=out,
+            fourier_B=B, platforms=("cpu",), model_desc="siren 32x2 + FF8",
+        )
+        assert manifest["kind"] == "inr"
+        assert manifest["fourier_features"] == [8, 2]
+
+        served = serve.load(out)
+        for n in (3, 57):  # two batch sizes — symbolic dim actually works
+            coords = jax.random.uniform(jax.random.key(n), (n, 2), minval=-1)
+            got = np.asarray(served(coords))
+            want = np.asarray(model.apply(params, fourier_encode(coords, B)))
+            assert got.shape == (n, 1)
+            np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+    def test_no_fourier_path(self, tmp_path):
+        model = Siren(hidden_features=16, hidden_layers=1)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 2)))
+        out = str(tmp_path / "plain")
+        serve.export_inr(model.apply, params, 2, out, platforms=("cpu",))
+        served = serve.load(out)
+        coords = jnp.linspace(-1, 1, 10).reshape(5, 2)
+        np.testing.assert_allclose(
+            np.asarray(served(coords)),
+            np.asarray(model.apply(params, coords)),
+            atol=1e-6,
+        )
+
+
+class TestRAMSArtifact:
+    def test_roundtrip_matches_live_apply(self, tmp_path):
+        model = RAMS(filters=4, N=1, r=2, channels=9)
+        x0 = jnp.zeros((1, 12, 12, 9))
+        params = model.init(jax.random.key(0), x0)
+
+        out = str(tmp_path / "rams_artifact")
+        manifest = serve.export_rams(
+            model.apply, params, out, height=12, width=12,
+            platforms=("cpu",), model_desc="tiny test rams",
+        )
+        assert manifest["kind"] == "rams"
+
+        served = serve.load(out)
+        for b in (1, 5):
+            x = jax.random.uniform(jax.random.key(b), (b, 12, 12, 9)) * 1000
+            got = np.asarray(served(x))
+            want = np.asarray(model.apply(params, x))
+            assert got.shape == (b, 36, 36, 1)
+            # outputs are uint16-range (~1e4); the deserialized module is
+            # AOT-compiled separately from the live jit, so bit-identity is
+            # not guaranteed — 1e-5 relative is compile-variance level
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=0.1)
+
+
+class TestManifest:
+    def test_manifest_records_symbolic_shape_and_platforms(self, tmp_path):
+        model = Siren(hidden_features=16, hidden_layers=1)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 2)))
+        out = str(tmp_path / "m")
+        m = serve.export_inr(model.apply, params, 2, out, platforms=("cpu",))
+        assert m["platforms"] == ["cpu"]
+        assert m["in_avals"][0]["shape"] == ["n", "2"]
+        loaded = serve.load(out)
+        assert loaded.manifest["jax_version"] == jax.__version__
+
+    def test_load_missing_dir_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            serve.load(str(tmp_path / "nope"))
