@@ -32,7 +32,7 @@ import numpy as np
 from mri_super_resolution_tpu import serve
 from mri_super_resolution_tpu.config import RAMSConfig
 from mri_super_resolution_tpu.core.coords import fourier_encode
-from mri_super_resolution_tpu.models import Siren, SirenToy
+from mri_super_resolution_tpu.models import Siren, SirenToy, Wire
 from mri_super_resolution_tpu.pipelines.misr import build_rams
 from mri_super_resolution_tpu.utils import restore_pytree
 
@@ -62,13 +62,16 @@ def main(argv=None):
 
     pi = sub.add_parser("inr", help="coordinate-INR artifact: (n, d) -> (n, out)")
     pi.add_argument("--params", required=True, help="orbax pytree dir (e.g. inr_toy --out)")
-    pi.add_argument("--model", choices=["siren", "siren_toy"], default="siren_toy")
+    pi.add_argument("--model", choices=["siren", "siren_toy", "wire"],
+                    default="siren_toy")
     pi.add_argument("--hidden_features", type=int, default=128)
     pi.add_argument("--hidden_layers", type=int, default=3)
     pi.add_argument("--coord_dim", type=int, default=2)
     pi.add_argument("--out_features", type=int, default=1)
     pi.add_argument("--first_omega_0", type=float, default=30.0)
     pi.add_argument("--hidden_omega_0", type=float, default=30.0)
+    pi.add_argument("--omega_0", type=float, default=10.0, help="wire only")
+    pi.add_argument("--sigma_0", type=float, default=10.0, help="wire only")
     pi.add_argument("--fourier_B", default=None, help="optional .npy Fourier matrix")
     pi.add_argument("--out", required=True)
     pi.add_argument("--platforms", nargs="*", default=None,
@@ -90,14 +93,23 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.kind == "inr":
-        cls = {"siren": Siren, "siren_toy": SirenToy}[args.model]
-        model = cls(
-            hidden_features=args.hidden_features,
-            hidden_layers=args.hidden_layers,
-            out_features=args.out_features,
-            first_omega_0=args.first_omega_0,
-            hidden_omega_0=args.hidden_omega_0,
-        )
+        if args.model == "wire":
+            model = Wire(
+                hidden_features=args.hidden_features,
+                hidden_layers=args.hidden_layers,
+                out_features=args.out_features,
+                omega_0=args.omega_0,
+                sigma_0=args.sigma_0,
+            )
+        else:
+            cls = {"siren": Siren, "siren_toy": SirenToy}[args.model]
+            model = cls(
+                hidden_features=args.hidden_features,
+                hidden_layers=args.hidden_layers,
+                out_features=args.out_features,
+                first_omega_0=args.first_omega_0,
+                hidden_omega_0=args.hidden_omega_0,
+            )
         params = restore_pytree(os.path.abspath(args.params))
         B = None if args.fourier_B is None else jnp.asarray(np.load(args.fourier_B))
         manifest = serve.export_inr(

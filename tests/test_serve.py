@@ -40,6 +40,21 @@ class TestINRArtifact:
             assert got.shape == (n, 1)
             np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
+    def test_wire_roundtrip(self, tmp_path):
+        from mri_super_resolution_tpu.models import Wire
+
+        model = Wire(hidden_features=16, hidden_layers=1)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 2)))
+        out = str(tmp_path / "wire")
+        serve.export_inr(model.apply, params, 2, out, platforms=("cpu",))
+        served = serve.load(out)
+        coords = jax.random.uniform(jax.random.key(7), (21, 2), minval=-1.0)
+        np.testing.assert_allclose(
+            np.asarray(served(coords)),
+            np.asarray(model.apply(params, coords)),
+            atol=1e-6,
+        )
+
     def test_no_fourier_path(self, tmp_path):
         model = Siren(hidden_features=16, hidden_layers=1)
         params = model.init(jax.random.key(0), jnp.zeros((1, 2)))
