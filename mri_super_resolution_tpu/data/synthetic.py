@@ -130,6 +130,96 @@ def hybrid_from_b0(
     return out
 
 
+def hybrid_from_tissue(
+    b0: np.ndarray,
+    b_values=(0.0, 150.0, 1000.0, 1500.0),
+    te_values=(57.0, 70.0, 150.0, 200.0),
+    acq_counts=(1, 3, 5, 5),
+    seed: int = 0,
+    noise_sigma_frac: float = 0.02,
+    shift_sigma: float = 0.4,
+) -> tuple[list[list[np.ndarray]], dict[str, np.ndarray]]:
+    """Three-compartment hybrid synthesis with known ground-truth maps.
+
+    Unlike :func:`hybrid_from_b0` (mono-exponential — a substrate on which
+    the 3-compartment decomposition is NON-identifiable, see
+    results/round3_pia/hybrid_ab.json), this generator draws smooth
+    per-compartment D/T2 fields inside the physiological priors the fitters
+    assume (PIA.py:171-213 ranges) and simplex volume fractions, and
+    synthesizes
+
+        S(b, TE) = b0 * sum_c v_c exp(-b/1000 D_c) exp(-(TE - TE0)/T2_c)
+
+    TE decay is RELATIVE to TE0, matching the reference convention
+    (PIA.py:257 ``normTE = [0, 13, 93, 143]``): after the pipeline's
+    (b0, TE0) normalization (superresHybrid.py:130-133) the signal is
+    exactly in the fitters' model class with the true simplex ``v`` — so
+    parameter recovery through the full pipeline is well-posed.
+
+    Returns ``(hybrid_raw, gt)`` with ``gt`` holding ``D``/``T2``
+    (um^2/ms, ms) and ``v`` fields of shape ``(H, W, S, 3)``
+    (epithelium, stroma, lumen).
+    """
+    rng = np.random.default_rng(seed)
+    H, W, S = b0.shape
+    shape = (H, W, S)
+    # per-compartment smooth fields inside the priors (PIA.py ranges)
+    D = np.stack(
+        [
+            _smooth_field(rng, shape, 3.0, 0.3, 0.4),  # epithelium 0.3-0.7
+            _smooth_field(rng, shape, 3.0, 0.7, 1.0),  # stroma 0.7-1.7
+            _smooth_field(rng, shape, 3.0, 2.7, 0.3),  # lumen 2.7-3.0
+        ],
+        axis=-1,
+    )
+    T2 = np.stack(
+        [
+            _smooth_field(rng, shape, 3.0, 20.0, 50.0),  # 20-70
+            _smooth_field(rng, shape, 3.0, 40.0, 60.0),  # 40-100
+            _smooth_field(rng, shape, 3.0, 500.0, 500.0),  # 500-1000
+        ],
+        axis=-1,
+    )
+    logits = np.stack(
+        [_smooth_field(rng, shape, 3.0, 0.0, 3.0) for _ in range(3)], axis=-1
+    )
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    v = e / e.sum(-1, keepdims=True)
+
+    sigma = noise_sigma_frac * np.percentile(b0, 99.5)
+    te0 = te_values[0]
+    out: list[list[np.ndarray]] = []
+    for bi, b in enumerate(b_values):
+        row: list[np.ndarray] = []
+        decay_b = np.exp(-b / 1000.0 * D)  # (H, W, S, 3)
+        for te in te_values:
+            clean = b0 * np.sum(
+                v * decay_b * np.exp(-(te - te0) / T2), axis=-1
+            )
+            if bi == 0:
+                re = clean + rng.normal(0.0, sigma, clean.shape)
+                im = rng.normal(0.0, sigma, clean.shape)
+                row.append(np.sqrt(re**2 + im**2).astype(np.float32))
+            else:
+                acqs = np.empty((H, W, S, acq_counts[bi]), dtype=np.float32)
+                for a in range(acq_counts[bi]):
+                    if shift_sigma > 0:
+                        dx, dy = rng.normal(0.0, shift_sigma, size=2)
+                        moved = np.stack(
+                            [_subpixel_shift2d(clean[:, :, s], dx, dy)
+                             for s in range(S)],
+                            axis=-1,
+                        )
+                    else:
+                        moved = clean
+                    re = moved + rng.normal(0.0, sigma, moved.shape)
+                    im = rng.normal(0.0, sigma, moved.shape)
+                    acqs[..., a] = np.sqrt(re**2 + im**2)
+                row.append(acqs)
+        out.append(row)
+    return out, {"D": D, "T2": T2, "v": v}
+
+
 def toy_image(side: int = 180, seed: int = 0) -> np.ndarray:
     """A structured toy target (rings + gradient), stand-in for toy.mat."""
     rng = np.random.default_rng(seed)

@@ -60,6 +60,10 @@ def main():
     ap.add_argument("--pia_train_steps", type=int, default=4000)
     ap.add_argument("--slices", type=int, nargs="*", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--substrate", choices=("mono", "tissue"), default="mono",
+                    help="mono: hybrid_from_b0 (3-compartment fit is "
+                         "non-identifiable); tissue: hybrid_from_tissue "
+                         "(in-model, GT recovery is well-posed)")
     ap.add_argument("--out", default="results/round3_pia/hybrid_ab.json")
     args = ap.parse_args()
 
@@ -77,7 +81,13 @@ def main():
         ),
         dtype=np.float32,
     )
-    hybrid_all = synthetic.hybrid_from_b0(b0, b_values=tuple(b_values), seed=int(pt_no))
+    gt = None
+    if args.substrate == "tissue":
+        hybrid_all, gt = synthetic.hybrid_from_tissue(
+            b0, b_values=tuple(b_values), seed=int(pt_no))
+    else:
+        hybrid_all = synthetic.hybrid_from_b0(
+            b0, b_values=tuple(b_values), seed=int(pt_no))
     hybrid = mean_over_acquisitions(hybrid_all)
 
     cfg = HybridConfig(number_of_epochs=args.epochs, nlls_iters=args.nlls_iters)
@@ -93,6 +103,24 @@ def main():
     fitter = make_pia_fitter(train_steps=args.pia_train_steps, seed=args.seed)
     t_pia_train = time.perf_counter() - t0
 
+    def _gt_on_recon_grid(field, _slice):
+        """GT field (H0, W0, S, 3) -> recon grid (H, W, 3): the recon covers
+        the ROI at 2x, so 2x nearest-neighbour upsampling of the ROI crop."""
+        crop = field[cfg.roi_start_x:cfg.roi_end_x,
+                     cfg.roi_start_y:cfg.roi_end_y, _slice]
+        return np.repeat(np.repeat(crop, 2, axis=0), 2, axis=1)
+
+    def _gt_mae(maps, _slice):
+        out = {}
+        for name, field in (("D", gt["D"]), ("T2", gt["T2"]), ("v", gt["v"])):
+            g = _gt_on_recon_grid(field, _slice)
+            m = getattr(maps, name)
+            out[name] = {
+                comp: round(float(np.mean(np.abs(m[..., c] - g[..., c]))), 4)
+                for c, comp in enumerate(("epithelium", "stroma", "lumen"))
+            }
+        return out
+
     per_slice = []
     t_nlls_total = t_pia_total = 0.0
     for _slice in slices:
@@ -106,8 +134,13 @@ def main():
         t_nlls_total += t_nlls
         t_pia_total += t_pia
 
+        gt_block = {}
+        if gt is not None:
+            gt_block = {"gt_mae_nlls": _gt_mae(m_nlls, _slice),
+                        "gt_mae_pia": _gt_mae(m_pia, _slice)}
         per_slice.append({
             "slice": _slice,
+            **gt_block,
             "D_um2_per_ms": _map_stats("D", m_nlls.D, m_pia.D),
             "T2_ms": _map_stats("T2", m_nlls.T2, m_pia.T2),
             "v": _map_stats("v", m_nlls.v, m_pia.v),
@@ -122,6 +155,7 @@ def main():
     out = {
         "experiment": "pipeline tissue-fitter A/B on one shared INR recon "
                       "(superresHybrid.py:127-186 operating point)",
+        "substrate": args.substrate,
         "patient": pt_no,
         "config": {"epochs": args.epochs, "nlls_iters": args.nlls_iters,
                    "pia_train_steps": args.pia_train_steps,

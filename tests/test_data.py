@@ -116,6 +116,44 @@ class TestSynthetic:
         acqs = synthetic.toy_perturbed_acquisitions(32, 4)
         assert acqs.shape == (32, 32, 4)
 
+    def test_hybrid_from_tissue_gt_is_in_model(self):
+        """After the pipeline's (b0, TE0) normalization the noiseless
+        tissue signal must be EXACTLY the fitters' 3-compartment model
+        (relative TE, PIA.py:257) evaluated at the GT parameters."""
+        b0 = np.full((6, 6, 2), 800.0, dtype=np.float32)
+        b_values = (0.0, 150.0, 1000.0, 1500.0)
+        te_values = (57.0, 70.0, 150.0, 200.0)
+        raw, gt = synthetic.hybrid_from_tissue(
+            b0, b_values, te_values, seed=5, noise_sigma_frac=0.0,
+            shift_sigma=0.0,
+        )
+        assert gt["D"].shape == (6, 6, 2, 3)
+        v = gt["v"]
+        np.testing.assert_allclose(v.sum(-1), 1.0, atol=1e-6)
+        assert (v >= 0).all()
+        # priors respected
+        assert (gt["D"][..., 0] >= 0.3).all() and (gt["D"][..., 0] <= 0.7).all()
+        assert (gt["T2"][..., 2] >= 500).all() and (gt["T2"][..., 2] <= 1000).all()
+
+        # mean over acquisitions, normalize by (b0, TE0), compare to model
+        vx, vy, vs = 2, 3, 1
+        sig = np.empty((4, 4))
+        for bi in range(4):
+            for ti in range(4):
+                a = np.asarray(raw[bi][ti], dtype=np.float64)
+                val = a[vx, vy, vs] if bi == 0 else a[vx, vy, vs].mean()
+                sig[bi, ti] = val
+        normalized = 1000.0 * sig / sig[0, 0]
+
+        D, T2, v_ = (gt[k][vx, vy, vs] for k in ("D", "T2", "v"))
+        b = np.asarray(b_values)[:, None]
+        te_rel = np.asarray(te_values)[None, :] - te_values[0]
+        model = 1000.0 * sum(
+            v_[c] * np.exp(-b / 1000.0 * D[c]) * np.exp(-te_rel / T2[c])
+            for c in range(3)
+        )
+        np.testing.assert_allclose(normalized, model, rtol=1e-5)
+
 
 @pytest.mark.skipif(
     not available_patients(), reason="anon_data not present"
