@@ -36,6 +36,14 @@ def main(argv=None):
     p.add_argument("--save_panels", action="store_true")
     p.add_argument("--export_npz", action="store_true",
                    help="export zero-shot LR/GT/SR triplets (forbagci.py variant)")
+    p.add_argument("--export_artifact", action="store_true",
+                   help="export each patient's fitted volume INR as a "
+                        "jax.export serving artifact (pat<id>/artifact/)")
+    p.add_argument("--synthetic_model", choices=("mono", "tissue"),
+                   default="mono",
+                   help="synthetic hybrid physics when master.mat is absent: "
+                        "mono-exponential (reference-like) or 3-compartment "
+                        "tissue (in-model for the hybrid fitters)")
     p.add_argument("--inr_lr", type=float, default=1e-4,
                    help="INR learning rate (inrDWI.py clean-data variant uses 5e-5)")
     p.add_argument("--inr_restart_every", type=int, default=0,
@@ -81,7 +89,12 @@ def main(argv=None):
                 ),
                 dtype=np.float32,
             )
-            hybrid = synthetic.hybrid_from_b0(b0, b_values=b_values, seed=int(pt_no))
+            if args.synthetic_model == "tissue":
+                hybrid, _ = synthetic.hybrid_from_tissue(
+                    b0, b_values=b_values, seed=int(pt_no))
+            else:
+                hybrid = synthetic.hybrid_from_b0(
+                    b0, b_values=b_values, seed=int(pt_no))
             patients.append((pt_no, hybrid, np.asarray(b_values)))
 
     if not patients:
@@ -89,6 +102,7 @@ def main(argv=None):
     out = superres3d.run(
         patients, cfg, args.out, seed=args.seed,
         save_panels=args.save_panels, export_npz=args.export_npz,
+        export_artifact=args.export_artifact,
     )
     print(f"results in {out}")
 

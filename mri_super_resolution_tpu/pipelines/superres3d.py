@@ -320,10 +320,15 @@ def run(
     seed: int = 0,
     save_panels: bool = False,
     export_npz: bool = False,
+    export_artifact: bool = False,
 ) -> str:
     """Driver over (pt_id, hybrid_raw, bvalues) tuples; writes
     ssim_scores.csv per patient like superresDWI.py main(). With
-    ``export_npz`` additionally writes the forbagci-style triplet archive."""
+    ``export_npz`` additionally writes the forbagci-style triplet archive;
+    with ``export_artifact``, each patient's fitted volume INR is exported
+    as a self-contained jax.export serving artifact (``pat<id>/artifact/``)
+    that maps raw 4-D coords in [-1,1] (x, y, z, b-axis) to normalized
+    intensity — any grid density, no model code needed (serve.py)."""
     os.makedirs(out_dir, exist_ok=True)
     results = []
     for pt_id, hybrid_raw, bvalues in patients:
@@ -334,6 +339,20 @@ def run(
         results.append(result)
         if save_panels:
             _save_panels(result, cfg, pdir)
+        if export_artifact:
+            from mri_super_resolution_tpu import serve
+
+            inr = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
+            serve.export_inr(
+                inr.apply, result.inr_params, coord_dim=4,
+                out_dir=os.path.join(pdir, "artifact"),
+                fourier_B=result.B,
+                model_desc=(
+                    f"sr3d pat{pt_id}: siren {cfg.hidden_dim}x{cfg.num_layers}"
+                    f" FF{cfg.mapping_size}; output is the (b, te0)-normalized"
+                    f" volume — de-normalize with maxes[b, te]"
+                ),
+            )
     if export_npz:
         export_triplets(results, cfg, os.path.join(out_dir, "zero_shot_dwi.npz"))
     return out_dir

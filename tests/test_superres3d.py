@@ -63,6 +63,34 @@ class TestSuperres3D:
         assert lines[0].startswith("Pt_id")
         assert len(lines) == 1 + 3 * 4
 
+    def test_driver_exports_serving_artifact(self, tiny_setup, tmp_path):
+        """--export_artifact path: the artifact reproduces infer_grid."""
+        import jax
+
+        from mri_super_resolution_tpu import serve
+        from mri_super_resolution_tpu.core.coords import fourier_encode
+
+        hybrid, bvalues, cfg = tiny_setup
+        out = superres3d.run(
+            [(42, hybrid, bvalues)], cfg, str(tmp_path), seed=0,
+            export_artifact=True,
+        )
+        art_dir = os.path.join(out, "pat42", "artifact")
+        served = serve.load(art_dir)
+        assert served.manifest["kind"] == "inr"
+        assert served.manifest["coord_dim"] == 4
+
+        coords = jax.random.uniform(jax.random.key(3), (33, 4), minval=-1.0)
+        got = np.asarray(served(coords))
+        assert got.shape == (33, 1)
+        # artifact must match a fresh fit's params applied directly
+        result = superres3d.run_patient(hybrid, bvalues, cfg, seed=0, pt_id=42)
+        inr = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
+        want = np.asarray(
+            inr.apply(result.inr_params, fourier_encode(coords, result.B))
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_expansion_count(self, tiny_setup):
         hybrid, bvalues, cfg = tiny_setup
         normed, maxes = superres3d.normalize_hybrid(hybrid)
