@@ -111,6 +111,10 @@ def main(argv=None):
                    "sequential: the historical first-10%%-of-patches split "
                    "(kept for comparability with the committed anchor)")
     p.add_argument("--holdout_patients", type=int, default=1)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each patch batch across all local devices "
+                        "(params replicated; gradient all-reduce inserted by "
+                        "XLA from the sharding annotations)")
     args = p.parse_args(argv)
 
     X, Y, M, pids = build_dataset(
@@ -133,7 +137,14 @@ def main(argv=None):
         evaluate_every=args.evaluate_every, checkpoint_dir=os.path.abspath(args.ckpt_dir),
         data_aug=args.data_aug,
     )
-    trainer = Trainer(model, cfg)
+    mesh = None
+    if args.data_parallel:
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        print(f"data-parallel over {mesh.devices.size} devices")
+    trainer = Trainer(model, cfg, mesh=mesh)
     trainer.init(Xt, seed=args.seed)
     trainer.fit(Xt, (Yt, Mt), validation_data=(Xv, Yv, Mv), seed=args.seed)
     val_psnr = trainer.evaluate(Xv, Yv, Mv)

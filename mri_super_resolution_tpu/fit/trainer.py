@@ -71,12 +71,21 @@ class Trainer:
         loss_fn: Callable = shift_l1_loss,
         metric_fn: Callable = shift_psnr,
         name: str = "RAMS",
+        mesh: "jax.sharding.Mesh | None" = None,
     ):
+        """``mesh``: optional device mesh for batch data parallelism. The
+        patch batch shards along the mesh's first axis (params replicated;
+        XLA inserts the gradient all-reduce from the sharding annotations —
+        the TPU-native replacement for the tf.distribute layer the reference
+        never had). Ragged batches are padded to the device count and the
+        padding removed from loss/metric exactly via per-sample weights
+        (``shift_l1_loss`` is per-image; ``shift_psnr(reduce=False)``)."""
         self.model = model
         self.cfg = cfg
         self.loss_fn = loss_fn
         self.metric_fn = metric_fn
         self.name = name
+        self.mesh = mesh
         # flatten: RAMS has 284 tiny param leaves; per-leaf Adam emitted ~530
         # (32,)-sized copies per step on TPU (~0.6 ms of pure dispatch).
         # Flattening runs one fused update over a single concatenated vector
@@ -118,6 +127,61 @@ class Trainer:
 
         self._train_step = train_step
         self._test_step = test_step
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = mesh.axis_names[0]
+            repl = NamedSharding(mesh, PartitionSpec())
+            bsh = NamedSharding(mesh, PartitionSpec(axis))
+            self._n_shard = mesh.devices.size
+
+            def dp_train(params, opt_state, lr_batch, hr_batch, mask_batch, w):
+                def loss_of(p):
+                    sr = self.model.apply(p, lr_batch.astype(jnp.float32))
+                    per = self.loss_fn(hr_batch, sr, mask_batch, hr)  # (B,)
+                    return jnp.sum(per * w) / jnp.sum(w), sr
+
+                (loss, sr), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+                updates, opt_state = self.tx.update(grads, opt_state)
+                params = optax.apply_updates(params, updates)
+                per_psnr = self.metric_fn(hr_batch, sr, mask_batch, hr, reduce=False)
+                psnr = jnp.sum(per_psnr * w) / jnp.sum(w)
+                return params, opt_state, loss, psnr
+
+            def dp_test(params, lr_batch, hr_batch, mask_batch, w):
+                sr = self.model.apply(params, lr_batch.astype(jnp.float32))
+                per = self.loss_fn(hr_batch, sr, mask_batch, hr)
+                loss = jnp.sum(per * w) / jnp.sum(w)
+                per_psnr = self.metric_fn(hr_batch, sr, mask_batch, hr, reduce=False)
+                psnr = jnp.sum(per_psnr * w) / jnp.sum(w)
+                return loss, psnr
+
+            self._train_step = jax.jit(
+                dp_train,
+                in_shardings=((repl, repl) + (bsh,) * 4),
+                out_shardings=(repl, repl, repl, repl),
+            )
+            self._test_step = jax.jit(
+                dp_test,
+                in_shardings=((repl,) + (bsh,) * 4),
+                out_shardings=(repl, repl),
+            )
+
+    def _pad_shard(self, *arrays):
+        """Pad a ragged batch to a device-count multiple; returns the padded
+        arrays plus the 0/1 sample-weight vector that removes the padding
+        from every reduction exactly."""
+        b = arrays[0].shape[0]
+        n = self._n_shard
+        pad = (-b) % n
+        w = np.ones(b + pad, np.float32)
+        if pad:
+            arrays = tuple(
+                np.concatenate([a, np.repeat(a[:1], pad, axis=0)]) for a in arrays
+            )
+            w[b:] = 0.0
+        return (*arrays, w)
 
     # ------------------------------------------------------------------
     def init(self, sample_lr: np.ndarray, seed: int = 0) -> TrainState:
@@ -193,14 +257,19 @@ class Trainer:
             train_loss = []
             train_psnr = []
             for idx in self._batches(len(x), kperm):
-                lr_b = jnp.asarray(x[idx])
-                hr_b = jnp.asarray(hr_imgs[idx])
-                m_b = jnp.asarray(hr_masks[idx])
+                lr_np, hr_np, m_np = x[idx], hr_imgs[idx], hr_masks[idx]
+                w = None
+                if self.mesh is not None:
+                    lr_np, hr_np, m_np, w = self._pad_shard(lr_np, hr_np, m_np)
+                lr_b = jnp.asarray(lr_np)
+                hr_b = jnp.asarray(hr_np)
+                m_b = jnp.asarray(m_np)
                 if cfg.data_aug:
                     kaug, k = jax.random.split(kaug)
                     lr_b, hr_b, m_b = _augment_batch(k, lr_b, hr_b, m_b)
+                extra = () if w is None else (jnp.asarray(w),)
                 new_params, new_opt, loss, psnr = self._train_step(
-                    state.params, state.opt_state, lr_b, hr_b, m_b
+                    state.params, state.opt_state, lr_b, hr_b, m_b, *extra
                 )
                 loss_f = float(loss)
                 if not np.isfinite(loss_f):
@@ -267,11 +336,13 @@ class Trainer:
         losses, psnrs, weights = [], [], []
         bs = self.cfg.batch_size
         for i in range(0, len(x_val), bs):
+            batch = (x_val[i : i + bs], y_val[i : i + bs], mask_val[i : i + bs])
+            extra = ()
+            if self.mesh is not None:
+                *batch, w = self._pad_shard(*batch)
+                extra = (jnp.asarray(w),)
             loss, psnr = self._test_step(
-                self.state.params,
-                jnp.asarray(x_val[i : i + bs]),
-                jnp.asarray(y_val[i : i + bs]),
-                jnp.asarray(mask_val[i : i + bs]),
+                self.state.params, *(jnp.asarray(a) for a in batch), *extra
             )
             losses.append(float(loss))
             psnrs.append(float(psnr))

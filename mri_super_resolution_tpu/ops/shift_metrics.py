@@ -89,9 +89,16 @@ def shift_l1_loss(y_true: Array, y_pred: Array, y_mask: Array, hr_size: int = 96
     return jax.vmap(one_image)(pred_crop, y_true, y_mask, best)
 
 
-@functools.partial(jax.jit, static_argnames=("hr_size",))
-def shift_psnr(y_true: Array, y_pred: Array, y_mask: Array, hr_size: int = 96) -> Array:
-    """Max-over-shifts cPSNR, meaned over the batch (loss.py:77-127)."""
+@functools.partial(jax.jit, static_argnames=("hr_size", "reduce"))
+def shift_psnr(
+    y_true: Array, y_pred: Array, y_mask: Array, hr_size: int = 96,
+    reduce: bool = True,
+) -> Array:
+    """Max-over-shifts cPSNR, meaned over the batch (loss.py:77-127).
+
+    ``reduce=False`` returns the per-image ``(B,)`` values instead of the
+    batch mean — used by the data-parallel Trainer to weight out padded
+    samples before reducing."""
     crop = hr_size - 2 * BORDER
     pred_crop = y_pred[:, BORDER : hr_size - BORDER, BORDER : hr_size - BORDER]
     labels = _stack_shifts(y_true, crop, crop)
@@ -103,7 +110,8 @@ def shift_psnr(y_true: Array, y_pred: Array, y_mask: Array, hr_size: int = 96) -
         return (10.0 * jnp.log10(PEAK**2 / mse)).mean(-1)
 
     psnrs = jax.vmap(per_shift)(labels, masks)  # (49, B)
-    return jnp.max(psnrs, axis=0).mean()
+    best = jnp.max(psnrs, axis=0)
+    return best.mean() if reduce else best
 
 
 def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
