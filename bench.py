@@ -143,24 +143,25 @@ def measure_wire(steps: int) -> float:
     return coords.shape[0] * steps / sec
 
 
-def measure_pia(n_voxels: int = 65536, train_steps: int = 300) -> float:
+def measure_pia(n_voxels: int = 65536) -> float:
     """PIA amortized tissue-parameter inference (encode) throughput.
 
     The capability PIA.py:16-155 exists for: replacing the per-voxel
     curve_fit loop. Recovery-accuracy evidence is
     results/round3_pia/recovery_rangetrain.json; this line tracks the
-    speed side (~745k voxels/s/chip vs the vmapped NLLS's 11k)."""
+    speed side (~745k voxels/s/chip vs the vmapped NLLS's 11k). Encode
+    throughput is weight-independent, so fresh-init params time the same
+    program as a trained encoder — no training run needed."""
     import jax
 
     from mri_super_resolution_tpu.models.pia import PIA, synthetic_batch
-    from mri_super_resolution_tpu.pipelines.pia_train import train_synthetic
     from mri_super_resolution_tpu.utils import time_jitted
 
     model = PIA()
-    res = train_synthetic(model, jax.random.key(0), steps=train_steps)
     sig, *_ = synthetic_batch(jax.random.key(1), n_voxels, 0.05)
+    params = model.init(jax.random.key(0), sig[:8])
     sig = jax.device_put(sig)
-    enc = jax.jit(lambda x: model.apply(res.params, x, method=model.encode))
+    enc = jax.jit(lambda x: model.apply(params, x, method=model.encode))
     sec = time_jitted(lambda: enc(sig), repeats=3, warmup=1)
     return n_voxels / sec
 
@@ -314,8 +315,7 @@ def main():
                 {
                     "metric": "pia_inference_voxels_per_sec_per_chip",
                     "value": round(measure_pia(
-                        4096 if args.quick else 65536,
-                        train_steps=30 if args.quick else 300), 1),
+                        4096 if args.quick else 65536), 1),
                     "unit": "voxels/sec/chip",
                 }
             )

@@ -34,7 +34,7 @@ from mri_super_resolution_tpu.config import RAMSConfig
 from mri_super_resolution_tpu.core.coords import fourier_encode
 from mri_super_resolution_tpu.models import Siren, SirenToy, Wire
 from mri_super_resolution_tpu.pipelines.misr import build_rams
-from mri_super_resolution_tpu.utils import restore_pytree
+from mri_super_resolution_tpu.utils import restore_pytree, unwrap_trainer_params
 
 
 def _check(served_path: str, live_fn, example_x, tol_rel: float = 1e-4) -> None:
@@ -133,9 +133,7 @@ def main(argv=None):
         params_dir = args.params or os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "artifacts", "rams_dwi_params")
-        params = restore_pytree(os.path.abspath(params_dir))
-        if isinstance(params, dict) and "params" in params and "step" in params:
-            params = params["params"]
+        params = unwrap_trainer_params(restore_pytree(os.path.abspath(params_dir)))
         manifest = serve.export_rams(
             model.apply, params, args.out,
             height=args.height, width=args.width, channels=args.channels,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from mri_super_resolution_tpu.config import RAMSConfig
 from mri_super_resolution_tpu.data import load_cases
 from mri_super_resolution_tpu.pipelines import misr
-from mri_super_resolution_tpu.utils import restore_pytree
+from mri_super_resolution_tpu.utils import restore_pytree, unwrap_trainer_params
 
 
 def main(argv=None):
@@ -55,9 +55,7 @@ def main(argv=None):
             args.ckpt = default_params
             print(f"restoring committed pretrained params: {args.ckpt}")
     if args.ckpt:
-        params = restore_pytree(os.path.abspath(args.ckpt))
-        if isinstance(params, dict) and "params" in params and "step" in params:
-            params = params["params"]  # Trainer checkpoint layout
+        params = unwrap_trainer_params(restore_pytree(os.path.abspath(args.ckpt)))
     elif args.allow_untrained:
         dummy = jnp.zeros((1, 16, 16, cfg.channels), jnp.float32)
         params = model.init(jax.random.key(args.seed), dummy)

@@ -106,64 +106,50 @@ class Trainer:
 
         hr = cfg.hr_size
 
-        @jax.jit
-        def train_step(params, opt_state, lr_batch, hr_batch, mask_batch):
+        # ONE weighted step serves both the single-device and the mesh path:
+        # with w = ones, sum(per*w)/sum(w) IS the batch mean the reference
+        # computes; on a mesh, padded samples carry w=0 and drop out of loss,
+        # gradient, and metric exactly. (metric_fn must accept reduce=False
+        # and return per-image values — shift_psnr does.)
+        def train_fn(params, opt_state, lr_batch, hr_batch, mask_batch, w):
             def loss_of(p):
                 sr = self.model.apply(p, lr_batch.astype(jnp.float32))
-                return jnp.mean(self.loss_fn(hr_batch, sr, mask_batch, hr)), sr
+                per = self.loss_fn(hr_batch, sr, mask_batch, hr)  # (B,)
+                return jnp.sum(per * w) / jnp.sum(w), sr
 
             (loss, sr), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
             updates, opt_state = self.tx.update(grads, opt_state)
             params = optax.apply_updates(params, updates)
-            psnr = self.metric_fn(hr_batch, sr, mask_batch, hr)
+            per_psnr = self.metric_fn(hr_batch, sr, mask_batch, hr, reduce=False)
+            psnr = jnp.sum(per_psnr * w) / jnp.sum(w)
             return params, opt_state, loss, psnr
 
-        @jax.jit
-        def test_step(params, lr_batch, hr_batch, mask_batch):
+        def test_fn(params, lr_batch, hr_batch, mask_batch, w):
             sr = self.model.apply(params, lr_batch.astype(jnp.float32))
-            loss = jnp.mean(self.loss_fn(hr_batch, sr, mask_batch, hr))
-            psnr = self.metric_fn(hr_batch, sr, mask_batch, hr)
+            per = self.loss_fn(hr_batch, sr, mask_batch, hr)
+            loss = jnp.sum(per * w) / jnp.sum(w)
+            per_psnr = self.metric_fn(hr_batch, sr, mask_batch, hr, reduce=False)
+            psnr = jnp.sum(per_psnr * w) / jnp.sum(w)
             return loss, psnr
 
-        self._train_step = train_step
-        self._test_step = test_step
-
-        if mesh is not None:
+        if mesh is None:
+            self._n_shard = 1
+            self._train_step = jax.jit(train_fn)
+            self._test_step = jax.jit(test_fn)
+        else:
             from jax.sharding import NamedSharding, PartitionSpec
 
             axis = mesh.axis_names[0]
             repl = NamedSharding(mesh, PartitionSpec())
             bsh = NamedSharding(mesh, PartitionSpec(axis))
             self._n_shard = mesh.devices.size
-
-            def dp_train(params, opt_state, lr_batch, hr_batch, mask_batch, w):
-                def loss_of(p):
-                    sr = self.model.apply(p, lr_batch.astype(jnp.float32))
-                    per = self.loss_fn(hr_batch, sr, mask_batch, hr)  # (B,)
-                    return jnp.sum(per * w) / jnp.sum(w), sr
-
-                (loss, sr), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
-                updates, opt_state = self.tx.update(grads, opt_state)
-                params = optax.apply_updates(params, updates)
-                per_psnr = self.metric_fn(hr_batch, sr, mask_batch, hr, reduce=False)
-                psnr = jnp.sum(per_psnr * w) / jnp.sum(w)
-                return params, opt_state, loss, psnr
-
-            def dp_test(params, lr_batch, hr_batch, mask_batch, w):
-                sr = self.model.apply(params, lr_batch.astype(jnp.float32))
-                per = self.loss_fn(hr_batch, sr, mask_batch, hr)
-                loss = jnp.sum(per * w) / jnp.sum(w)
-                per_psnr = self.metric_fn(hr_batch, sr, mask_batch, hr, reduce=False)
-                psnr = jnp.sum(per_psnr * w) / jnp.sum(w)
-                return loss, psnr
-
             self._train_step = jax.jit(
-                dp_train,
+                train_fn,
                 in_shardings=((repl, repl) + (bsh,) * 4),
                 out_shardings=(repl, repl, repl, repl),
             )
             self._test_step = jax.jit(
-                dp_test,
+                test_fn,
                 in_shardings=((repl,) + (bsh,) * 4),
                 out_shardings=(repl, repl),
             )
@@ -171,7 +157,8 @@ class Trainer:
     def _pad_shard(self, *arrays):
         """Pad a ragged batch to a device-count multiple; returns the padded
         arrays plus the 0/1 sample-weight vector that removes the padding
-        from every reduction exactly."""
+        from every reduction exactly. With one shard this is a no-op plus
+        an all-ones weight vector."""
         b = arrays[0].shape[0]
         n = self._n_shard
         pad = (-b) % n
@@ -257,19 +244,17 @@ class Trainer:
             train_loss = []
             train_psnr = []
             for idx in self._batches(len(x), kperm):
-                lr_np, hr_np, m_np = x[idx], hr_imgs[idx], hr_masks[idx]
-                w = None
-                if self.mesh is not None:
-                    lr_np, hr_np, m_np, w = self._pad_shard(lr_np, hr_np, m_np)
+                lr_np, hr_np, m_np, w = self._pad_shard(
+                    x[idx], hr_imgs[idx], hr_masks[idx])
                 lr_b = jnp.asarray(lr_np)
                 hr_b = jnp.asarray(hr_np)
                 m_b = jnp.asarray(m_np)
                 if cfg.data_aug:
                     kaug, k = jax.random.split(kaug)
                     lr_b, hr_b, m_b = _augment_batch(k, lr_b, hr_b, m_b)
-                extra = () if w is None else (jnp.asarray(w),)
                 new_params, new_opt, loss, psnr = self._train_step(
-                    state.params, state.opt_state, lr_b, hr_b, m_b, *extra
+                    state.params, state.opt_state, lr_b, hr_b, m_b,
+                    jnp.asarray(w)
                 )
                 loss_f = float(loss)
                 if not np.isfinite(loss_f):
@@ -336,13 +321,11 @@ class Trainer:
         losses, psnrs, weights = [], [], []
         bs = self.cfg.batch_size
         for i in range(0, len(x_val), bs):
-            batch = (x_val[i : i + bs], y_val[i : i + bs], mask_val[i : i + bs])
-            extra = ()
-            if self.mesh is not None:
-                *batch, w = self._pad_shard(*batch)
-                extra = (jnp.asarray(w),)
+            *batch, w = self._pad_shard(
+                x_val[i : i + bs], y_val[i : i + bs], mask_val[i : i + bs])
             loss, psnr = self._test_step(
-                self.state.params, *(jnp.asarray(a) for a in batch), *extra
+                self.state.params, *(jnp.asarray(a) for a in batch),
+                jnp.asarray(w)
             )
             losses.append(float(loss))
             psnrs.append(float(psnr))

@@ -350,8 +350,14 @@ def run(
                 model_desc=(
                     f"sr3d pat{pt_id}: siren {cfg.hidden_dim}x{cfg.num_layers}"
                     f" FF{cfg.mapping_size}; output is the (b, te0)-normalized"
-                    f" volume — de-normalize with maxes[b, te]"
+                    f" volume — de-normalize with manifest['maxes'][b][te]"
                 ),
+                extra_manifest={
+                    # the per-(b, TE) normalization scales, so the artifact is
+                    # actually self-contained: physical = output * maxes[b][te]
+                    "maxes": np.asarray(result.maxes).tolist(),
+                    "bvalues": np.asarray(result.bvalues).tolist(),
+                },
             )
     if export_npz:
         export_triplets(results, cfg, os.path.join(out_dir, "zero_shot_dwi.npz"))

@@ -103,6 +103,7 @@ def export_inr(
     out_features: int = 1,
     platforms: Sequence[str] | None = None,
     model_desc: str = "",
+    extra_manifest: dict | None = None,
 ) -> dict:
     """Export a fitted coordinate-INR as ``coords (n, d) -> (n, out)``.
 
@@ -117,18 +118,21 @@ def export_inr(
 
     (n,) = jax_export.symbolic_shape("n")
     spec = jax.ShapeDtypeStruct((n, coord_dim), jnp.float32)
+    manifest = {
+        "coord_dim": coord_dim,
+        "out_features": out_features,
+        "fourier_features": None if B is None else list(B.shape),
+        "model": model_desc,
+    }
+    if extra_manifest:
+        manifest.update(extra_manifest)
     return export_fn(
         infer,
         [spec],
         out_dir,
         kind="inr",
         platforms=platforms,
-        extra_manifest={
-            "coord_dim": coord_dim,
-            "out_features": out_features,
-            "fourier_features": None if B is None else list(B.shape),
-            "model": model_desc,
-        },
+        extra_manifest=manifest,
     )
 
 

@@ -28,6 +28,16 @@ def save_pytree(path: str, tree: Any) -> None:
     ckptr.wait_until_finished()
 
 
+def unwrap_trainer_params(tree: Any) -> Any:
+    """Return the params subtree whether ``tree`` is bare params or a full
+    Trainer checkpoint ``{step, psnr, params, opt_state}`` (fit/trainer.py).
+    The single source of truth for that layout — used by every CLI that
+    accepts either form (misr_master, export_model)."""
+    if isinstance(tree, dict) and "params" in tree and "step" in tree:
+        return tree["params"]
+    return tree
+
+
 def restore_pytree(path: str, target: Any | None = None) -> Any:
     """Restore a pytree saved with :func:`save_pytree`.
 

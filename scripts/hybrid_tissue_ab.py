@@ -60,14 +60,22 @@ def main():
     ap.add_argument("--pia_train_steps", type=int, default=4000)
     ap.add_argument("--slices", type=int, nargs="*", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--patient_index", type=int, default=0,
+                    help="index into available_patients()")
     ap.add_argument("--substrate", choices=("mono", "tissue"), default="mono",
                     help="mono: hybrid_from_b0 (3-compartment fit is "
                          "non-identifiable); tissue: hybrid_from_tissue "
                          "(in-model, GT recovery is well-posed)")
-    ap.add_argument("--out", default="results/round3_pia/hybrid_ab.json")
+    ap.add_argument("--out", default=None,
+                    help="default: results/round3_pia/hybrid_ab[_<substrate>]"
+                         "[_p<idx>].json")
     args = ap.parse_args()
+    if args.out is None:
+        suffix = "" if args.substrate == "mono" else f"_{args.substrate}"
+        pidx = "" if args.patient_index == 0 else f"_p{args.patient_index}"
+        args.out = f"results/round3_pia/hybrid_ab{suffix}{pidx}.json"
 
-    row = available_patients()[0]
+    row = available_patients()[args.patient_index]
     pt_no = row["pt_id"].split("-")[-1]
     b_values = np.asarray((0.0, 150.0, 1000.0, 1500.0))
     b0 = np.asarray(

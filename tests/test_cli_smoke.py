@@ -51,6 +51,13 @@ def test_help_parses(module_name, capsys):
     assert "--help" in out or "usage" in out.lower()
 
 
+def _have_anon_data() -> bool:
+    from mri_super_resolution_tpu.data import available_patients
+
+    return bool(available_patients())
+
+
+@pytest.mark.skipif(not _have_anon_data(), reason="anon_data not present")
 def test_david_end_to_end(tmp_path):
     """ERD-only contrast stats: full args -> load_cases -> erd_stats.run."""
     mod = importlib.import_module("cli.david")

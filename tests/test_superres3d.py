@@ -79,6 +79,10 @@ class TestSuperres3D:
         served = serve.load(art_dir)
         assert served.manifest["kind"] == "inr"
         assert served.manifest["coord_dim"] == 4
+        # de-normalization scales travel with the artifact (self-contained)
+        maxes = np.asarray(served.manifest["maxes"])
+        assert maxes.shape == (4, 4) and (maxes > 0).all()
+        assert served.manifest["bvalues"] == [0.0, 150.0, 1000.0, 1500.0]
 
         coords = jax.random.uniform(jax.random.key(3), (33, 4), minval=-1.0)
         got = np.asarray(served(coords))

@@ -118,7 +118,7 @@ class TestDataParallelTrainer:
         w = jnp.ones(len(x), jnp.float32)
         p1, o1, loss1, psnr1 = tr1._train_step(
             st1.params, st1.opt_state, jnp.asarray(x), jnp.asarray(y),
-            jnp.asarray(m))
+            jnp.asarray(m), w)
         p8, o8, loss8, psnr8 = tr8._train_step(
             st8.params, st8.opt_state, jnp.asarray(x), jnp.asarray(y),
             jnp.asarray(m), w)
