@@ -13,6 +13,11 @@ from mri_super_resolution_tpu.parallel.sharded_fit import (  # noqa: F401
     make_cohort_fit,
     stack_params,
 )
+from mri_super_resolution_tpu.parallel.tp_fit import (  # noqa: F401
+    make_tp_fit,
+    make_tp_mesh,
+    siren_tp_specs,
+)
 from mri_super_resolution_tpu.parallel.distributed import (  # noqa: F401
     global_mesh,
     host_local_slice,
