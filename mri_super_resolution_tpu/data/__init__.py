@@ -21,6 +21,7 @@ from mri_super_resolution_tpu.data.datasets import (  # noqa: F401
     flatten_weights,
 )
 from mri_super_resolution_tpu.data.combinations import (  # noqa: F401
+    combination_mean,
     expand_combinations,
     expand_from_hybrid,
 )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -50,6 +51,24 @@ def expand_combinations(
         for r in (row0, row1, row2, row3)
     ]
     return jnp.stack(rows, axis=3)
+
+
+def combination_mean(hybrid_raw_norm, te: int = 1) -> np.ndarray:
+    """Mean over all cross-b combinations WITHOUT materializing the product.
+
+    Every acquisition at a given b appears exactly ``prod(A_other)`` times in
+    the Cartesian product, so the combination mean of each b-row is just that
+    b's plain acquisition mean — O(sum A_i) host work instead of an
+    O(prod A_i) ``(H, W, S, 4, N)`` intermediate (~700 MB at the flagship
+    shapes, which the pipeline previously expanded on device and copied back
+    only to mean-reduce). Matches ``expand_from_hybrid(...).mean(-1)`` up to
+    f32 summation order (tested).
+    """
+    rows = []
+    for b in range(4):
+        a = np.asarray(hybrid_raw_norm[b][te], dtype=np.float32)
+        rows.append(a.mean(-1) if a.ndim == 4 else a)
+    return np.stack(rows, axis=3)
 
 
 def expand_from_hybrid(hybrid_raw_norm, te: int = 1) -> Array:

@@ -18,7 +18,9 @@ TPU-native restructuring:
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
+import time
 from typing import Sequence
 
 import jax
@@ -34,7 +36,8 @@ from mri_super_resolution_tpu.core.normalize import max_normalize
 from mri_super_resolution_tpu.data import (
     MetricsCSV,
     SSIM_HEADER,
-    expand_from_hybrid,
+    combination_mean,
+    expand_combinations,
     load_mat,
 )
 from mri_super_resolution_tpu.fit.engine import fit_alternating_pn, infer_grid
@@ -55,6 +58,10 @@ class SR3DResult:
     inr_params: object
     pn_params: object
     B: np.ndarray
+    # end-to-end phase wall-clock (seconds), device-fenced at each boundary:
+    # prep / setup / fit / infer / eval + total. First patient of a process
+    # includes XLA compiles; warm numbers are the per-patient steady state.
+    timings: dict = dataclasses.field(default_factory=dict)
 
 
 def load_hybrid(data_address: str):
@@ -85,15 +92,21 @@ def run_patient(
     pt_id: str | int = 0,
 ) -> SR3DResult:
     """Fit one patient volume and compute the evaluation protocol."""
+    t0 = time.perf_counter()
     normed, maxes = normalize_hybrid(hybrid_raw)
-    acquisitions = np.asarray(expand_from_hybrid(normed, te=0))  # (X,Y,S,4,N)
-    mean_img = acquisitions.mean(-1)  # (X, Y, S, 4)
+    # the combination mean factorizes (combination_mean docstring), and the
+    # full Cartesian product is only ever consumed on the LR ROI voxels —
+    # expand just those on device instead of the whole (X,Y,S,4,N) volume
+    mean_img = combination_mean(normed, te=0)  # (X, Y, S, 4)
 
     r0, r1 = cfg.roi_start, cfg.roi_end
     lr_mean = mean_img[r0:r1:2, r0:r1:2]  # (sx/2, sy/2, S, 4)
     hr_mean = mean_img[r0:r1, r0:r1]
-    num_comb = acquisitions.shape[-1]
-    lr_acqs = acquisitions[r0:r1:2, r0:r1:2]  # (..., 4, N)
+    lr_acqs = expand_combinations(*[
+        jnp.asarray(np.asarray(normed[b][0], dtype=np.float32)[r0:r1:2, r0:r1:2])
+        for b in range(4)
+    ])  # (sx/2, sy/2, S, 4, N), device-resident
+    num_comb = lr_acqs.shape[-1]
 
     dim = lr_mean.ndim  # 4
     key = jax.random.key(seed)
@@ -103,9 +116,11 @@ def run_patient(
     lr_coords = mgrid(lr_mean.shape)
     ff = fourier_encode(lr_coords, B)
     mean_target = jnp.asarray(lr_mean.reshape(-1, 1))
-    acq_pixels = jnp.asarray(
-        np.moveaxis(lr_acqs.reshape(-1, num_comb), -1, 0)[..., None]
-    )  # (N, P, 1)
+    acq_pixels = jnp.moveaxis(
+        lr_acqs.reshape(-1, num_comb), -1, 0
+    )[..., None]  # (N, P, 1), stays on device
+
+    t_prep = time.perf_counter()
 
     inr = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
     pn = PerturbNet(hidden_features=cfg.pn_dim, dimension=dim)
@@ -135,6 +150,7 @@ def run_patient(
     # measured faster time-to-PSNR AND higher final plateau than flat Adam
     inr_tx = (restart_adam(cfg.inr_lr, cfg.inr_restart_every)
               if cfg.inr_restart_every else cached_adam(cfg.inr_lr))
+    t_setup = time.perf_counter()
     res = fit_alternating_pn(
         inr_apply,
         pn.apply,
@@ -154,6 +170,11 @@ def run_patient(
         padded_target=padded_target,
     )
 
+    # fence the scanned fit (device_get: block_until_ready is unreliable on
+    # the tunnelled backend — see utils/profiling.py) before the fit mark
+    jax.device_get(jax.tree_util.tree_leaves(res.inr_params)[0])
+    t_fit = time.perf_counter()
+
     # dense-grid inference (superresDWI.py:161-162)
     hr_shape = hr_mean.shape
     test_shape = (hr_shape[0] * 2, hr_shape[1] * 2, hr_shape[2], hr_shape[3])
@@ -167,6 +188,7 @@ def run_patient(
         infer_grid(inr_apply, res.inr_params, mgrid(hr_shape),
                    clamp_min=0.0, fourier_B=B)
     ).reshape(hr_shape)
+    t_infer = time.perf_counter()
 
     # SSIM protocol (superresDWI.py:179-187) — the whole (slice x b) table is
     # one vmapped program: eager per-pair evaluation dispatches hundreds of
@@ -208,6 +230,18 @@ def run_patient(
             ssim_rows.append(row)
             if csv is not None:
                 csv.append(*row)
+    t_eval = time.perf_counter()
+    timings = {
+        "prep_s": t_prep - t0,
+        "setup_s": t_setup - t_prep,
+        "fit_s": t_fit - t_setup,
+        "infer_s": t_infer - t_fit,
+        "eval_s": t_eval - t_infer,
+        "total_s": t_eval - t0,
+        "fit_epochs": cfg.number_of_epochs,
+        "lr_voxels": int(mean_target.shape[0]),
+        "num_combinations": int(num_comb),
+    }
 
     return SR3DResult(
         recon_2x=recon,
@@ -219,6 +253,7 @@ def run_patient(
         inr_params=res.inr_params,
         pn_params=res.pn_params,
         B=np.asarray(B),
+        timings=timings,
     )
 
 
@@ -361,6 +396,28 @@ def run(
             )
     if export_npz:
         export_triplets(results, cfg, os.path.join(out_dir, "zero_shot_dwi.npz"))
+    # per-patient end-to-end phase breakdown (the reference's headline
+    # workload has no published timing at all — SURVEY.md section 6); the
+    # first patient's row includes XLA compiles, later rows are warm
+    with open(os.path.join(out_dir, "timings.json"), "w") as f:
+        json.dump(
+            {
+                "platform": jax.devices()[0].platform,
+                "config": {
+                    "epochs": cfg.number_of_epochs,
+                    "pn_epochs": cfg.perturbation_epochs,
+                    "hidden": cfg.hidden_dim,
+                    "layers": cfg.num_layers,
+                    "mapping_size": cfg.mapping_size,
+                },
+                "patients": [
+                    dict(r.timings, pt_id=str(p[0]))
+                    for r, p in zip(results, patients)
+                ],
+            },
+            f,
+            indent=1,
+        )
     return out_dir
 
 

@@ -42,7 +42,7 @@ def main():
 
     from mri_super_resolution_tpu.core.coords import (
         fourier_matrix, fourier_encode, mgrid)
-    from mri_super_resolution_tpu.data import load_mat, synthetic, expand_from_hybrid
+    from mri_super_resolution_tpu.data import load_mat, synthetic, combination_mean
     from mri_super_resolution_tpu.fit.engine import fit_simple
     from mri_super_resolution_tpu.fit.optim import cached_adam, restart_adam
     from mri_super_resolution_tpu.models import Siren
@@ -59,7 +59,7 @@ def main():
             1, 0.3, (128, 128, 28))).astype(np.float32)
     hybrid = synthetic.hybrid_from_b0(b0, seed=7)
     normed, _ = normalize_hybrid(hybrid)
-    mean_img = np.asarray(expand_from_hybrid(normed, te=0)).mean(-1)
+    mean_img = combination_mean(normed, te=0)
     lr = mean_img[40:90:2, 40:90:2]
     target = jnp.asarray(lr.reshape(-1, 1))
     coords = mgrid(lr.shape)

@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from mri_super_resolution_tpu.config import SupperresDWIConfig
-from mri_super_resolution_tpu.data import load_mat, expand_from_hybrid
+from mri_super_resolution_tpu.data import load_mat, combination_mean
 from mri_super_resolution_tpu.data import synthetic
 from mri_super_resolution_tpu.pipelines import superres3d
 
@@ -40,7 +40,7 @@ B_VALUES = (0.0, 150.0, 1000.0, 1500.0)
 
 def mean_volume(hybrid) -> np.ndarray:
     normed, _ = superres3d.normalize_hybrid(hybrid)
-    return np.asarray(expand_from_hybrid(normed, te=0)).mean(-1)
+    return combination_mean(normed, te=0)
 
 
 def main():

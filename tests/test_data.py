@@ -41,6 +41,28 @@ class TestCombinations:
             ).T
             np.testing.assert_allclose(out[i, j, k], combs, rtol=1e-6)
 
+    def test_combination_mean_matches_full_expansion(self, rng):
+        """combination_mean factorizes the product mean: each acquisition at
+        a given b appears prod(A_other) times, so the mean over all N
+        combinations equals the per-b acquisition mean."""
+        from mri_super_resolution_tpu.data import (
+            combination_mean,
+            expand_from_hybrid,
+        )
+
+        H, W, S = 4, 3, 2
+        amts = [1, 2, 3, 2]
+        hybrid = [
+            [rng.uniform(size=(H, W, S, a)).astype(np.float32) if a > 1
+             else rng.uniform(size=(H, W, S)).astype(np.float32)
+             for _ in range(4)]
+            for a in amts
+        ]
+        full = np.asarray(expand_from_hybrid(hybrid, te=1)).mean(-1)
+        fact = combination_mean(hybrid, te=1)
+        assert fact.shape == (H, W, S, 4)
+        np.testing.assert_allclose(fact, full, rtol=2e-6, atol=1e-7)
+
 
 class TestImageFittingSet:
     def test_shapes_and_grid(self, rng):
