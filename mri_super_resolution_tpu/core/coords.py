@@ -28,10 +28,18 @@ def mgrid(shape: Sequence[int], dtype=jnp.float32) -> Array:
     reshape(-1, d) semantics of the reference ``get_mgrid``.
 
     Returns an array of shape ``(prod(shape), len(shape))``.
+
+    Built host-side (numpy) and transferred once: an eager jnp meshgrid
+    compiles a handful of shape-specialised executables per NOVEL grid shape,
+    which on tunnelled-compile environments costs seconds per new volume
+    shape in a cohort (results/round3_e2e) — for what is a deterministic
+    constant. Callers are all outside jit (grep-audited); inside a trace a
+    host-built grid would bake in as a constant, so keep it that way.
     """
-    axes = [jnp.linspace(-1.0, 1.0, int(n), dtype=dtype) for n in shape]
-    grids = jnp.meshgrid(*axes, indexing="ij")
-    return jnp.stack(grids, axis=-1).reshape(-1, len(shape))
+    axes = [np.linspace(-1.0, 1.0, int(n)) for n in shape]
+    grids = np.meshgrid(*axes, indexing="ij")
+    out = np.stack(grids, axis=-1).reshape(-1, len(shape))
+    return jnp.asarray(out.astype(np.dtype(dtype)))
 
 
 def mgrid_square(sidelen: int, dim: int = 2, dtype=jnp.float32) -> Array:

@@ -6,6 +6,7 @@ from mri_super_resolution_tpu.fit.engine import (  # noqa: F401
     fit_ensemble,
     fit_until,
     fit_alternating_pn,
+    infer_dense_grid,
     infer_grid,
     FitResult,
     EnsembleResult,

@@ -24,7 +24,7 @@ import optax
 
 from mri_super_resolution_tpu.core.adc import adc_polyfit
 from mri_super_resolution_tpu.core.coords import fourier_matrix, fourier_encode, mgrid
-from mri_super_resolution_tpu.fit.engine import infer_grid
+from mri_super_resolution_tpu.fit.engine import infer_dense_grid
 from mri_super_resolution_tpu.models import Siren
 from mri_super_resolution_tpu.ops.nlls import hybrid_fit
 from mri_super_resolution_tpu.fit.optim import cached_adam
@@ -133,15 +133,13 @@ def fit_all_te(hybrid_raw, cfg: HybridConfig, seed: int = 0) -> HybridResult:
     fitted, losses = fit_stack(params_stack)
 
     test_shape = (sx * 2, sy * 2, S, 4)
-    test_coords = mgrid(test_shape)
     recon_hybrid = np.zeros((sx * 2, sy * 2, S, 4, 4), dtype=np.float32)
     for te in range(4):
-        # fourier_B keeps all four TE inferences on ONE executable (an
-        # encode closure would recompile the grid program per TE)
+        # infer_dense_grid: coords generated in-program — one executable
+        # across all four TEs AND every volume shape (fit/engine.py)
         params_te = jax.tree_util.tree_map(lambda x: x[te], fitted)
-        rec = np.asarray(
-            infer_grid(model.apply, params_te, test_coords, clamp_min=0.0,
-                       fourier_B=B)
+        rec = infer_dense_grid(
+            model.apply, params_te, test_shape, clamp_min=0.0, fourier_B=B
         ).reshape(test_shape)
         for b in range(4):
             recon_hybrid[:, :, :, b, te] = rec[:, :, :, b] * maxes[b, te]

@@ -7,7 +7,9 @@ against the rescaled b0 (x 1e6); write DWI + ADC DICOMs.
 """
 from __future__ import annotations
 
+import json
 import os
+import time
 from typing import Callable, Sequence
 
 import jax
@@ -89,8 +91,24 @@ def run(
     # fold_weight_norm)
     params = fold_weight_norm(params)
     apply_fn = jax.jit(lambda x: model.apply(params, x))
+    timings = []
     for case in cases:
+        t0 = time.perf_counter()
+        # predict_case's np.asarray device_get fences the ensemble predict
         mean_pred, adc_large = predict_case(apply_fn, case, cfg, sample_size, seed)
+        t1 = time.perf_counter()
         base = os.path.join(out_img_folder, exp_name, case.pt_no)
         save_dicom(mean_pred, os.path.join(base, "DWI", "mean.dcm"))
         save_dicom(adc_large, os.path.join(base, "ADC", "mean.dcm"))
+        timings.append({
+            "pt_no": case.pt_no,
+            "predict_s": t1 - t0,
+            "write_s": time.perf_counter() - t1,
+            "draws": sample_size,
+        })
+    # per-case wall-clock (first row includes the RAMS compile); mirrors
+    # the superres3d timings.json so both pipeline families report e2e cost
+    with open(os.path.join(out_img_folder, exp_name, "timings.json"), "w") as f:
+        json.dump({"platform": jax.devices()[0].platform,
+                   "filters": cfg.filters, "N": cfg.N,
+                   "cases": timings}, f, indent=1)

@@ -40,7 +40,10 @@ from mri_super_resolution_tpu.data import (
     expand_combinations,
     load_mat,
 )
-from mri_super_resolution_tpu.fit.engine import fit_alternating_pn, infer_grid
+from mri_super_resolution_tpu.fit.engine import (
+    fit_alternating_pn,
+    infer_dense_grid,
+)
 from mri_super_resolution_tpu.models import Siren, PerturbNet
 from mri_super_resolution_tpu.fit.optim import cached_adam, restart_adam
 
@@ -175,18 +178,16 @@ def run_patient(
     jax.device_get(jax.tree_util.tree_leaves(res.inr_params)[0])
     t_fit = time.perf_counter()
 
-    # dense-grid inference (superresDWI.py:161-162)
+    # dense-grid inference (superresDWI.py:161-162): coords generated inside
+    # the jitted chunk program — ONE executable across every volume shape in
+    # a cohort (heterogeneous slice counts cost no recompiles)
     hr_shape = hr_mean.shape
     test_shape = (hr_shape[0] * 2, hr_shape[1] * 2, hr_shape[2], hr_shape[3])
-    # fourier_B (traced) instead of an encode closure: one executable per
-    # (model, grid shape) reused across patients instead of a fresh compile
-    recon = np.asarray(
-        infer_grid(inr_apply, res.inr_params, mgrid(test_shape),
-                   clamp_min=0.0, fourier_B=B)
+    recon = infer_dense_grid(
+        inr_apply, res.inr_params, test_shape, clamp_min=0.0, fourier_B=B
     ).reshape(test_shape)
-    sr_hr = np.asarray(
-        infer_grid(inr_apply, res.inr_params, mgrid(hr_shape),
-                   clamp_min=0.0, fourier_B=B)
+    sr_hr = infer_dense_grid(
+        inr_apply, res.inr_params, hr_shape, clamp_min=0.0, fourier_B=B
     ).reshape(hr_shape)
     t_infer = time.perf_counter()
 
@@ -308,9 +309,9 @@ def coronal_recon(
     (2sx, 2sy, transverse_length, 1) grid for through-plane super-resolution."""
     ts = result.recon_2x.shape
     coronal_shape = (ts[0], ts[1], transverse_length, 1)
-    rec = infer_grid(inr_apply, result.inr_params, mgrid(coronal_shape),
-                     fourier_B=jnp.asarray(result.B))
-    return np.asarray(rec).reshape(coronal_shape)
+    rec = infer_dense_grid(inr_apply, result.inr_params, coronal_shape,
+                           fourier_B=jnp.asarray(result.B))
+    return rec.reshape(coronal_shape)
 
 
 def export_triplets(

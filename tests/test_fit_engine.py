@@ -3,6 +3,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+import pytest
 
 from mri_super_resolution_tpu.core.coords import mgrid, fourier_matrix, fourier_encode
 from mri_super_resolution_tpu.fit.engine import (
@@ -192,6 +193,48 @@ class TestInferGrid:
         params = model.init(jax.random.key(3), coords)
         out = infer_grid(model.apply, params, coords, clamp_min=0.0)
         assert float(out.min()) >= 0.0
+
+
+class TestInferDenseGrid:
+    """infer_dense_grid generates its coordinate chunk on device; must match
+    mgrid + infer_grid to f32 rounding and stay one executable per rank."""
+
+    @pytest.mark.parametrize("shape", [(20, 20), (6, 5, 4, 3), (8, 8, 3, 1)])
+    def test_matches_mgrid_path(self, shape):
+        from mri_super_resolution_tpu.fit.engine import infer_dense_grid
+
+        model = Siren(hidden_features=16, hidden_layers=1)
+        coords = mgrid(shape)
+        params = model.init(jax.random.key(0), coords)
+        want = np.asarray(infer_grid(model.apply, params, coords))
+        got = infer_dense_grid(model.apply, params, shape)
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+    def test_matches_with_fourier_chunked_and_clamp(self):
+        from mri_super_resolution_tpu.fit.engine import infer_dense_grid
+
+        shape = (11, 7, 5)
+        model = Siren(hidden_features=16, hidden_layers=1)
+        B = fourier_matrix(jax.random.key(1), 4, 3, scale=1.0)
+        coords = mgrid(shape)
+        params = model.init(jax.random.key(0), fourier_encode(coords, B))
+        want = np.asarray(
+            infer_grid(model.apply, params, coords, clamp_min=0.0, fourier_B=B)
+        )
+        # chunk smaller than P: multiple generated chunks, ragged tail
+        got = infer_dense_grid(model.apply, params, shape, chunk=128,
+                               clamp_min=0.0, fourier_B=B)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+    def test_one_executable_per_rank(self):
+        from mri_super_resolution_tpu.fit.engine import _grid_gen_runner
+
+        model = Siren(hidden_features=16, hidden_layers=1)
+        a = _grid_gen_runner(model.apply, False, None, 3, 1024)
+        b = _grid_gen_runner(model.apply, False, None, 3, 1024)
+        assert a is b
+        assert a is not _grid_gen_runner(model.apply, False, None, 4, 1024)
 
 
 class TestCachedAdam:
