@@ -564,6 +564,10 @@ def infer_dense_grid(
     P = int(np.prod(sizes_np))
     use_fourier = fourier_B is not None
     B = fourier_B if use_fourier else jnp.zeros((0,))
+    # grids smaller than the chunk run a power-of-two bucket instead of the
+    # full chunk (bounded executable count, no 262k-row program for a toy
+    # grid); grids at/above the chunk all share the one chunk-sized program
+    chunk = min(int(chunk), 1 << (P - 1).bit_length())
     run = _grid_gen_runner(
         apply_fn, use_fourier, clamp_min, len(grid_shape), int(chunk)
     )
