@@ -151,11 +151,14 @@ def make_tp_fit(
     vox = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
 
+    # No donation: run() places arrays itself, so a caller passing back a
+    # previously-returned (already pshard-placed) tree would have its buffers
+    # silently consumed by a donating jit — device_put is a no-op then and
+    # nothing signals the hand-off. Correctness over the 2x param-memory win.
     @functools.partial(
         jax.jit,
         in_shardings=(pshard, vox, vox),
         out_shardings=(pshard, rep),
-        donate_argnums=(0,),
     )
     def fit(params, coords, target):
         opt_state = tx.init(params)

@@ -108,6 +108,7 @@ def run(
         })
     # per-case wall-clock (first row includes the RAMS compile); mirrors
     # the superres3d timings.json so both pipeline families report e2e cost
+    os.makedirs(os.path.join(out_img_folder, exp_name), exist_ok=True)
     with open(os.path.join(out_img_folder, exp_name, "timings.json"), "w") as f:
         json.dump({"platform": jax.devices()[0].platform,
                    "filters": cfg.filters, "N": cfg.N,

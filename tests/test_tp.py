@@ -94,6 +94,21 @@ class TestParity:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=5e-5)
 
+    def test_returned_params_reusable(self):
+        """Continuation: feeding a returned (already-placed) tree back in
+        must not consume it — the jit does not donate (review finding: with
+        donation, device_put is a no-op on placed trees and the caller's
+        buffers were silently deleted)."""
+        model, params, coords, target = _setup(2)
+        mesh = make_tp_mesh(data=2, model=4)
+        fit = make_tp_fit(model.apply, optax.adam(1e-3), mesh, 2,
+                          siren_tp_specs(params))
+        res = fit(params, coords, target)
+        res2 = fit(res.params, coords, target)
+        # both trees still readable after the second call
+        for leaf in jax.tree.leaves(res.params) + jax.tree.leaves(res2.params):
+            np.asarray(leaf)
+
     def test_params_actually_sharded(self):
         model, params, coords, target = _setup(3)
         mesh = make_tp_mesh(data=2, model=4)
