@@ -90,6 +90,15 @@ def main(argv=None):
     pr.add_argument("--platforms", nargs="*", default=None)
     pr.add_argument("--check", action="store_true")
 
+    pp = sub.add_parser(
+        "pia", help="PIA tissue-fitter artifact: signals (n, S) -> (D, T2, v)")
+    pp.add_argument("--params", required=True,
+                    help="orbax pytree dir of trained PIA params (cli/pia.py --out)")
+    pp.add_argument("--number_of_signals", type=int, default=16)
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--platforms", nargs="*", default=None)
+    pp.add_argument("--check", action="store_true")
+
     args = p.parse_args(argv)
 
     if args.kind == "inr":
@@ -125,6 +134,35 @@ def main(argv=None):
                 jax.random.key(0), (257, args.coord_dim), minval=-1.0)
             _check(args.out,
                    lambda c: model.apply(params, fourier_encode(c, B)), coords)
+    elif args.kind == "pia":
+        from mri_super_resolution_tpu.models.pia import PIA
+
+        model = PIA(number_of_signals=args.number_of_signals)
+        params = restore_pytree(os.path.abspath(args.params))
+        encode = lambda prm, x: model.apply(prm, x, method=PIA.encode)  # noqa: E731
+        manifest = serve.export_pia(
+            encode, params, args.out,
+            number_of_signals=args.number_of_signals,
+            platforms=args.platforms,
+            model_desc=f"PIA S={args.number_of_signals}",
+        )
+        print(f"exported {manifest['kind']} artifact -> {args.out} "
+              f"(platforms {manifest['platforms']})")
+        if args.check:
+            sig = jax.random.uniform(
+                jax.random.key(0), (129, args.number_of_signals)) * 1000.0
+            served = serve.load(args.out)
+            got = served(sig)
+            want = encode(params, sig)
+            err = max(
+                float(np.max(np.abs(np.asarray(g) - np.asarray(w))))
+                / max(float(np.max(np.abs(np.asarray(w)))), 1e-12)
+                for g, w in zip(got, want)
+            )
+            status = "OK" if err <= 1e-4 else "MISMATCH"
+            print(f"roundtrip check: max rel err {err:.2e} [{status}]")
+            if status != "OK":
+                raise SystemExit(1)
     else:
         # build through the same path as misr_master so the artifact runs the
         # production compute_dtype (bfloat16 activations) and layout

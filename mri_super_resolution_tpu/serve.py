@@ -177,6 +177,50 @@ def export_rams(
     )
 
 
+def export_pia(
+    encode_fn: Callable,
+    params: Any,
+    out_dir: str,
+    *,
+    number_of_signals: int = 16,
+    platforms: Sequence[str] | None = None,
+    model_desc: str = "",
+    extra_manifest: dict | None = None,
+) -> dict:
+    """Export a trained PIA encoder as ``signals (n, S) -> (D, T2, v)``.
+
+    The amortized tissue fitter (models/pia.py, reference PIA.py:16-155) as
+    a serving artifact: raw multi-b/multi-TE signal vectors in, the three
+    (n, 3) compartment parameter maps out — the deployment form of
+    ``superres_hybrid --tissue_fit pia``. ``encode_fn(params, signals)``
+    must return the ``(D, T2, v)`` tuple (e.g.
+    ``lambda p, x: model.apply(p, x, method=PIA.encode)``). The voxel batch
+    ``n`` is symbolic; the encoder's input scaling and the tanh/softmax
+    priors are baked into the module.
+    """
+
+    def infer(signals):
+        return encode_fn(params, signals)
+
+    (n,) = jax_export.symbolic_shape("n")
+    spec = jax.ShapeDtypeStruct((n, number_of_signals), jnp.float32)
+    manifest = {
+        "number_of_signals": number_of_signals,
+        "outputs": ["D (n,3)", "T2 (n,3)", "v (n,3)"],
+        "model": model_desc,
+    }
+    if extra_manifest:
+        manifest.update(extra_manifest)
+    return export_fn(
+        infer,
+        [spec],
+        out_dir,
+        kind="pia",
+        platforms=platforms,
+        extra_manifest=manifest,
+    )
+
+
 @dataclass
 class Served:
     """A loaded artifact: ``call`` runs the deserialized module under jit."""

@@ -94,6 +94,36 @@ class TestRAMSArtifact:
             np.testing.assert_allclose(got, want, rtol=1e-5, atol=0.1)
 
 
+class TestPIAArtifact:
+    def test_roundtrip_tuple_outputs_symbolic_batch(self, tmp_path):
+        from mri_super_resolution_tpu.models.pia import PIA
+
+        model = PIA(hidden_dims=(8, 16))
+        sig0 = jnp.ones((1, 16)) * 1000.0
+        params = model.init(jax.random.key(0), sig0)
+        encode = lambda p, x: model.apply(p, x, method=PIA.encode)  # noqa: E731
+
+        out = str(tmp_path / "pia_artifact")
+        manifest = serve.export_pia(
+            encode, params, out, platforms=("cpu",), model_desc="tiny pia")
+        assert manifest["kind"] == "pia"
+
+        served = serve.load(out)
+        for n in (1, 7):
+            sig = jax.random.uniform(jax.random.key(n), (n, 16)) * 1000.0
+            got = served(sig)
+            want = encode(params, sig)
+            assert len(got) == 3
+            for g, w in zip(got, want):
+                assert np.asarray(g).shape == (n, 3)
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-5)
+        # physics invariants survive serialization: v is a softmax simplex
+        v = np.asarray(got[2])
+        np.testing.assert_allclose(v.sum(-1), 1.0, atol=1e-5)
+        assert (v >= 0).all()
+
+
 class TestManifest:
     def test_manifest_records_symbolic_shape_and_platforms(self, tmp_path):
         model = Siren(hidden_features=16, hidden_layers=1)
