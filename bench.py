@@ -166,6 +166,40 @@ def measure_pia(n_voxels: int = 65536) -> float:
     return n_voxels / sec
 
 
+def measure_grid(steps: int) -> float:
+    """GridINR (multires dense-grid INR, this framework's model-zoo addition)
+    full-volume fit throughput on the flagship LR ROI shape, via the
+    separable tensor-product path (scatter-free, all-MXU; models/grid_inr.py).
+    Quality-side evidence (time-to-PSNR vs FF-SIREN) lives in
+    bench_quality.py; this line tracks raw fit throughput."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mri_super_resolution_tpu.core.coords import mgrid
+    from mri_super_resolution_tpu.fit.engine import fit_simple
+    from mri_super_resolution_tpu.models import GridINR
+    from mri_super_resolution_tpu.models.grid_inr import make_tensor_apply
+    from mri_super_resolution_tpu.utils import time_jitted
+
+    key = jax.random.key(0)
+    coords = mgrid(SHAPE)
+    target = jax.random.uniform(key, (coords.shape[0], 1))
+    model = GridINR(num_levels=4, base_resolution=6, growth=2.0, hidden=64)
+    params = model.init(key, coords[:8])
+    tx = optax.adam(5e-3)
+    apply = make_tensor_apply(model, SHAPE)
+
+    def run():
+        res = fit_simple(
+            apply, tx, jax.tree.map(jnp.copy, params), coords, target, steps,
+        )
+        return res.losses
+
+    sec = time_jitted(run, repeats=3, warmup=1)
+    return coords.shape[0] * steps / sec
+
+
 def measure_rams(steps: int) -> float:
     """MISR trainer step throughput (patches/sec): RAMS at the reference
     config (multi-image-super-resolution/master.py:20-27 — scale 3, F=32,
@@ -189,14 +223,15 @@ def measure_rams(steps: int) -> float:
     x = jnp.asarray(rng.uniform(7000, 8000, (B, 32, 32, 9)).astype(np.float32))
     y = jnp.asarray(rng.uniform(7000, 8000, (B, 96, 96, 1)).astype(np.float32))
     m = jnp.ones_like(y)
+    w = jnp.ones((B,), jnp.float32)  # full batch: unit sample weights
     st = tr.init(x)
     p, o = st.params, st.opt_state
     for _ in range(3):
-        p, o, loss, _ = tr._train_step(p, o, x, y, m)
+        p, o, loss, _ = tr._train_step(p, o, x, y, m, w)
     jax.device_get(loss)
     t0 = time.perf_counter()
     for _ in range(steps):
-        p, o, loss, _ = tr._train_step(p, o, x, y, m)
+        p, o, loss, _ = tr._train_step(p, o, x, y, m, w)
     jax.device_get(loss)
     return B * steps / (time.perf_counter() - t0)
 
@@ -300,7 +335,8 @@ def main():
         steps, small_steps, torch_steps = 5, 5, 2  # ~10 s/step on host CPU
 
     if args.all:
-        for name, fn in (("erd", measure_erd), ("wire", measure_wire)):
+        for name, fn in (("erd", measure_erd), ("wire", measure_wire),
+                         ("grid_inr", measure_grid)):
             print(
                 json.dumps(
                     {

@@ -51,6 +51,16 @@ def main(argv=None):
                         "(0 = reference flat Adam; 100 measured faster "
                         "time-to-PSNR — see fit/optim.py for the evidence "
                         "and its caveats)")
+    p.add_argument("--inr_model", choices=("siren", "grid"), default="siren",
+                   help="volume INR family: the reference's FF-SIREN "
+                        "(parity default) or the multiresolution dense-grid "
+                        "model (models/grid_inr.py; separable tensor-product "
+                        "fit/inference — far faster to a given quality)")
+    p.add_argument("--grid_lr", type=float, default=5e-3,
+                   help="Adam lr for --inr_model grid")
+    p.add_argument("--grid_levels", type=int, default=4)
+    p.add_argument("--grid_base_resolution", type=int, default=6)
+    p.add_argument("--grid_hidden", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="SR_results")
     args = p.parse_args(argv)
@@ -65,6 +75,11 @@ def main(argv=None):
         roi_end=args.roi_end,
         inr_lr=args.inr_lr,
         inr_restart_every=args.inr_restart_every,
+        inr_model=args.inr_model,
+        grid_lr=args.grid_lr,
+        grid_levels=args.grid_levels,
+        grid_base_resolution=args.grid_base_resolution,
+        grid_hidden=args.grid_hidden,
     )
 
     patients = []

@@ -53,6 +53,21 @@ class SupperresDWIConfig:
     # flat Adam on this fit (fit/optim.py rationale and caveats;
     # results/round3_flagship/time_to_psnr.jsonl). 0 = reference flat.
     inr_restart_every: int = 0
+    # "siren" = the reference's FF-SIREN (parity default). "grid" = this
+    # framework's multiresolution dense-grid INR (models/grid_inr.py): the
+    # mean-fit epochs and all dense-grid inference ride the separable
+    # tensor-product path (scatter-free, all-MXU) and the PN alternation
+    # uses the gather path on perturbed coords. Far faster to a given
+    # quality (bench_quality.py; results/round3_grid3d/).
+    inr_model: str = "siren"
+    grid_levels: int = 4
+    grid_base_resolution: int = 6
+    grid_features: int = 4
+    grid_hidden: int = 64
+    grid_lr: float = 5e-3
+    # ROI-cropped LR grids (25x25x28) have z as the largest axis — full
+    # z resolution per level, unlike the full-volume default of 4
+    grid_z_divisor: int = 1
 
 
 @dataclasses.dataclass

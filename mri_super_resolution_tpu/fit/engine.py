@@ -314,6 +314,7 @@ class AlternatingResult(NamedTuple):
         "num_epochs",
         "pn_epochs",
         "inr_value_and_grad",
+        "pn_encode",
     ),
     donate_argnames=("inr_params", "pn_params"),
 )
@@ -336,6 +337,7 @@ def fit_alternating_pn(
     padded_target: Array | None = None,
     inr_opt_state=None,
     pn_opt_state=None,
+    pn_encode: Callable | None = None,
 ) -> AlternatingResult:
     """superresDWI.py:132-156: ``num_epochs - pn_epochs`` INR-on-mean steps,
     then ``pn_epochs`` alternating steps — odd: INR-on-mean; even: one
@@ -357,6 +359,10 @@ def fit_alternating_pn(
     ``inr_opt_state``/``pn_opt_state`` continue from a previous call's
     ``AlternatingResult`` states — required when chunking one logical
     schedule across calls (same contract as ``fit_simple``'s opt_state).
+
+    ``pn_encode`` maps the PN output to the INR's input space; the default
+    re-applies the Fourier mapping with ``B`` (the reference's double-mapping
+    quirk). Models that consume raw coordinates (GridINR) pass identity.
     """
     inr_opt = inr_tx.init(inr_params) if inr_opt_state is None else inr_opt_state
     pn_opt = pn_tx.init(pn_params) if pn_opt_state is None else pn_opt_state
@@ -405,7 +411,8 @@ def fit_alternating_pn(
 
                 def loss_fn(p):
                     perturbed = pn_apply(p, ff_coords, sample_idx, pn_eps)
-                    re_encoded = fourier_encode(perturbed, B)
+                    re_encoded = (fourier_encode(perturbed, B)
+                                  if pn_encode is None else pn_encode(perturbed))
                     return mse(inr_apply(inr_params, re_encoded), target)
 
                 loss, grads = jax.value_and_grad(loss_fn)(pn_params)

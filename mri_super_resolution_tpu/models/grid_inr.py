@@ -21,6 +21,8 @@ implemented for parity); use it where wall-clock-to-quality matters.
 """
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -71,6 +73,12 @@ class GridINR(nn.Module):
     b_features: int = 8
     hidden: int = 64
     out_features: int = 1
+    # z-axis grid resolution = max(R // z_divisor, 2). The default 4 suits
+    # full volumes (z slices ~4x sparser than in-plane, e.g. 128x128x28);
+    # ROI-cropped fits where z is comparable to (or larger than) the in-plane
+    # extent — superres3d's 25x25x28 LR grid — need z_divisor=1 or the slice
+    # axis is under-resolved at every level.
+    z_divisor: int = 4
 
     @nn.compact
     def __call__(self, coords: Array) -> Array:
@@ -85,7 +93,7 @@ class GridINR(nn.Module):
             grid = self.param(
                 f"grid_{l}",
                 nn.initializers.uniform(scale=1e-4),
-                (R, R, max(R // 4, 2), self.features_per_level),
+                (R, R, max(R // self.z_divisor, 2), self.features_per_level),
             )
             feats.append(_trilinear_gather(grid, xyz01))
         b_emb = self.param(
@@ -176,14 +184,59 @@ def grid_inr_tensor_apply(model: "GridINR", params, shape: tuple) -> Array:
     return _mlp_head(p, h)
 
 
+@functools.lru_cache(maxsize=64)
 def make_tensor_apply(model: "GridINR", shape: tuple):
     """apply(params, coords)-shaped adapter for the fit engine: ignores the
-    coords argument's values (they ARE mgrid(shape)) and evaluates separably."""
+    coords argument's values (they ARE mgrid(shape)) and evaluates separably.
+
+    lru_cached by (model-config, shape) value so callers that pass it as a
+    static jit argument (fit_alternating_pn) share one executable across
+    patients with equal configs."""
 
     def apply(params, coords):
         return grid_inr_tensor_apply(model, params, shape)
 
     return apply
+
+
+@functools.lru_cache(maxsize=64)
+def make_tensor_value_and_grad(model: "GridINR", shape: tuple):
+    """Identity-stable ``(params, coords, target) -> (loss, grads)`` for the
+    fit engine's ``inr_value_and_grad`` hook: MSE through the separable
+    tensor-product forward (coords are ignored — they ARE mgrid(shape))."""
+    apply = make_tensor_apply(model, shape)
+
+    def vag(params, coords, target):
+        def loss_fn(p):
+            pred = apply(p, coords)
+            return jnp.mean((pred - target) ** 2)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    return vag
+
+
+@functools.lru_cache(maxsize=64)
+def _tensor_runner(model: "GridINR", shape: tuple, clamp_min):
+    """Identity-stable jitted tensor-product grid evaluator (params traced;
+    one executable per (model-config, shape, clamp) — flax Modules are frozen
+    dataclasses, so equal configs share cache entries across patients)."""
+
+    @jax.jit
+    def run(params):
+        out = grid_inr_tensor_apply(model, params, shape)
+        return jnp.clip(out, clamp_min, None) if clamp_min is not None else out
+
+    return run
+
+
+def infer_tensor_grid(
+    model: "GridINR", params, shape: tuple, clamp_min=None
+) -> Array:
+    """Dense-grid inference on ``mgrid(shape)`` via the separable path — the
+    GridINR analog of fit/engine.infer_dense_grid (no chunking needed: the
+    contractions never materialise a (P, d) coordinate array)."""
+    return _tensor_runner(model, tuple(int(s) for s in shape), clamp_min)(params)
 
 
 class GridINR2D(nn.Module):

@@ -50,6 +50,12 @@ from mri_super_resolution_tpu.fit.optim import cached_adam, restart_adam
 Array = jax.Array
 
 
+def _identity(x):
+    """pn_encode for raw-coordinate models (no Fourier re-mapping);
+    module-level so it is identity-stable across patients (static jit arg)."""
+    return x
+
+
 @dataclasses.dataclass
 class SR3DResult:
     recon_2x: np.ndarray  # (2sx, 2sy, S, 4) super-resolved at 2x
@@ -112,12 +118,15 @@ def run_patient(
     num_comb = lr_acqs.shape[-1]
 
     dim = lr_mean.ndim  # 4
+    use_grid = cfg.inr_model == "grid"
     key = jax.random.key(seed)
     kB, kI, kP = jax.random.split(key, 3)
     B = fourier_matrix(kB, cfg.mapping_size, dim, scale=cfg.ff_scale)
 
     lr_coords = mgrid(lr_mean.shape)
-    ff = fourier_encode(lr_coords, B)
+    # the INR's input stream: FF-encoded coords for SIREN (reference), raw
+    # coords for the dense-grid model (its multires grids ARE the encoding)
+    ff = lr_coords if use_grid else fourier_encode(lr_coords, B)
     mean_target = jnp.asarray(lr_mean.reshape(-1, 1))
     acq_pixels = jnp.moveaxis(
         lr_acqs.reshape(-1, num_comb), -1, 0
@@ -125,34 +134,59 @@ def run_patient(
 
     t_prep = time.perf_counter()
 
-    inr = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
     pn = PerturbNet(hidden_features=cfg.pn_dim, dimension=dim)
-    inr_params = inr.init(kI, ff[:8])
     pn_params = pn.init(kP, ff[:8], 0, 0.0)
 
     on_tpu = jax.devices()[0].platform == "tpu"
     inr_vag = None
     padded_ff = padded_target = None
-    if cfg.use_pallas and on_tpu:
-        from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
-            make_fused_apply,
-            make_fused_value_and_grad,
-            pad_rows_to,
+    pn_encode = None
+    if use_grid:
+        from mri_super_resolution_tpu.models import GridINR
+        from mri_super_resolution_tpu.models.grid_inr import (
+            make_tensor_value_and_grad,
         )
 
-        inr_apply = make_fused_apply(inr)
-        # one-pass mean-fit steps; pre-padded coords hoist the per-step pad
-        # out of the 2490-epoch scan (see make_fused_value_and_grad docs)
-        inr_vag = make_fused_value_and_grad(inr, n_rows=ff.shape[0])
-        padded_ff = pad_rows_to(ff, 512)
-        padded_target = pad_rows_to(mean_target, 512)
-    else:
+        inr = GridINR(
+            num_levels=cfg.grid_levels,
+            base_resolution=cfg.grid_base_resolution,
+            features_per_level=cfg.grid_features,
+            hidden=cfg.grid_hidden,
+            z_divisor=cfg.grid_z_divisor,
+        )
+        inr_params = inr.init(kI, ff[:8])
+        # mean-fit epochs ride the separable tensor-product path (the fit
+        # grid IS mgrid(lr_shape)); the PN branch keeps the gather apply —
+        # perturbed coords are no longer a tensor grid. Both callables are
+        # identity-stable (cached by value) — they ride fit_alternating_pn's
+        # static args, so fresh closures would recompile every patient.
         inr_apply = inr.apply
+        pn_encode = _identity
+        inr_vag = make_tensor_value_and_grad(inr, tuple(lr_mean.shape))
+    else:
+        inr = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
+        inr_params = inr.init(kI, ff[:8])
+        if cfg.use_pallas and on_tpu:
+            from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+                make_fused_apply,
+                make_fused_value_and_grad,
+                pad_rows_to,
+            )
+
+            inr_apply = make_fused_apply(inr)
+            # one-pass mean-fit steps; pre-padded coords hoist the per-step
+            # pad out of the 2490-epoch scan (make_fused_value_and_grad docs)
+            inr_vag = make_fused_value_and_grad(inr, n_rows=ff.shape[0])
+            padded_ff = pad_rows_to(ff, 512)
+            padded_target = pad_rows_to(mean_target, 512)
+        else:
+            inr_apply = inr.apply
 
     # inr_restart_every > 0: periodic Adam-moment restarts (fit/optim.py) —
     # measured faster time-to-PSNR AND higher final plateau than flat Adam
-    inr_tx = (restart_adam(cfg.inr_lr, cfg.inr_restart_every)
-              if cfg.inr_restart_every else cached_adam(cfg.inr_lr))
+    inr_lr = cfg.grid_lr if use_grid else cfg.inr_lr
+    inr_tx = (restart_adam(inr_lr, cfg.inr_restart_every)
+              if cfg.inr_restart_every else cached_adam(inr_lr))
     t_setup = time.perf_counter()
     res = fit_alternating_pn(
         inr_apply,
@@ -171,6 +205,7 @@ def run_patient(
         inr_value_and_grad=inr_vag,
         padded_ff=padded_ff,
         padded_target=padded_target,
+        pn_encode=pn_encode,
     )
 
     # fence the scanned fit (device_get: block_until_ready is unreliable on
@@ -180,15 +215,27 @@ def run_patient(
 
     # dense-grid inference (superresDWI.py:161-162): coords generated inside
     # the jitted chunk program — ONE executable across every volume shape in
-    # a cohort (heterogeneous slice counts cost no recompiles)
+    # a cohort (heterogeneous slice counts cost no recompiles). The grid
+    # model evaluates any mgrid separably instead (infer_tensor_grid).
     hr_shape = hr_mean.shape
     test_shape = (hr_shape[0] * 2, hr_shape[1] * 2, hr_shape[2], hr_shape[3])
-    recon = infer_dense_grid(
-        inr_apply, res.inr_params, test_shape, clamp_min=0.0, fourier_B=B
-    ).reshape(test_shape)
-    sr_hr = infer_dense_grid(
-        inr_apply, res.inr_params, hr_shape, clamp_min=0.0, fourier_B=B
-    ).reshape(hr_shape)
+    if use_grid:
+        from mri_super_resolution_tpu.models.grid_inr import infer_tensor_grid
+
+        recon = np.asarray(
+            infer_tensor_grid(inr, res.inr_params, test_shape, clamp_min=0.0)
+        ).reshape(test_shape)
+        sr_hr = np.asarray(
+            infer_tensor_grid(inr, res.inr_params, hr_shape, clamp_min=0.0)
+        ).reshape(hr_shape)
+    else:
+        recon = infer_dense_grid(
+            inr_apply, res.inr_params, test_shape, clamp_min=0.0, fourier_B=B
+        ).reshape(test_shape)
+        sr_hr = infer_dense_grid(
+            inr_apply, res.inr_params, hr_shape, clamp_min=0.0, fourier_B=B
+        ).reshape(hr_shape)
+    np.asarray(recon[:1])  # fence before the infer mark
     t_infer = time.perf_counter()
 
     # SSIM protocol (superresDWI.py:179-187) — the whole (slice x b) table is
@@ -242,6 +289,7 @@ def run_patient(
         "fit_epochs": cfg.number_of_epochs,
         "lr_voxels": int(mean_target.shape[0]),
         "num_combinations": int(num_comb),
+        "inr_model": cfg.inr_model,
     }
 
     return SR3DResult(
@@ -309,9 +357,22 @@ def coronal_recon(
     (2sx, 2sy, transverse_length, 1) grid for through-plane super-resolution."""
     ts = result.recon_2x.shape
     coronal_shape = (ts[0], ts[1], transverse_length, 1)
-    rec = infer_dense_grid(inr_apply, result.inr_params, coronal_shape,
-                           fourier_B=jnp.asarray(result.B))
-    return rec.reshape(coronal_shape)
+    if cfg.inr_model == "grid":
+        from mri_super_resolution_tpu.models import GridINR
+        from mri_super_resolution_tpu.models.grid_inr import infer_tensor_grid
+
+        model = GridINR(
+            num_levels=cfg.grid_levels,
+            base_resolution=cfg.grid_base_resolution,
+            features_per_level=cfg.grid_features,
+            hidden=cfg.grid_hidden,
+            z_divisor=cfg.grid_z_divisor,
+        )
+        rec = infer_tensor_grid(model, result.inr_params, coronal_shape)
+    else:
+        rec = infer_dense_grid(inr_apply, result.inr_params, coronal_shape,
+                               fourier_B=jnp.asarray(result.B))
+    return np.asarray(rec).reshape(coronal_shape)
 
 
 def export_triplets(
@@ -378,14 +439,31 @@ def run(
         if export_artifact:
             from mri_super_resolution_tpu import serve
 
-            inr = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
+            if cfg.inr_model == "grid":
+                from mri_super_resolution_tpu.models import GridINR
+
+                inr = GridINR(
+                    num_levels=cfg.grid_levels,
+                    base_resolution=cfg.grid_base_resolution,
+                    features_per_level=cfg.grid_features,
+                    hidden=cfg.grid_hidden,
+                    z_divisor=cfg.grid_z_divisor,
+                )
+                export_B = None
+                desc = (f"sr3d pat{pt_id}: grid_inr L{cfg.grid_levels}"
+                        f" R{cfg.grid_base_resolution} h{cfg.grid_hidden}")
+            else:
+                inr = Siren(hidden_features=cfg.hidden_dim,
+                            hidden_layers=cfg.num_layers)
+                export_B = result.B
+                desc = (f"sr3d pat{pt_id}: siren {cfg.hidden_dim}x"
+                        f"{cfg.num_layers} FF{cfg.mapping_size}")
             serve.export_inr(
                 inr.apply, result.inr_params, coord_dim=4,
                 out_dir=os.path.join(pdir, "artifact"),
-                fourier_B=result.B,
+                fourier_B=export_B,
                 model_desc=(
-                    f"sr3d pat{pt_id}: siren {cfg.hidden_dim}x{cfg.num_layers}"
-                    f" FF{cfg.mapping_size}; output is the (b, te0)-normalized"
+                    f"{desc}; output is the (b, te0)-normalized"
                     f" volume — de-normalize with manifest['maxes'][b][te]"
                 ),
                 extra_manifest={

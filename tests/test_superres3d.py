@@ -127,6 +127,74 @@ class TestOddROI:
         assert adc_sr.shape == adc_sp.shape == adc_hr.shape == (2 * sx, 2 * sx)
 
 
+class TestGridModelOption:
+    def test_run_patient_grid(self, tiny_setup):
+        """inr_model='grid' routes the 3-D pipeline through GridINR: mean-fit
+        epochs + dense inference on the separable tensor-product path, PN
+        alternation on the gather path with identity pn_encode (no Fourier
+        re-mapping — the grid consumes raw coords)."""
+        import dataclasses
+
+        hybrid, bvalues, cfg = tiny_setup
+        cfg_g = dataclasses.replace(
+            cfg, inr_model="grid", number_of_epochs=120, grid_levels=3,
+            grid_base_resolution=4, grid_hidden=32)
+        result = superres3d.run_patient(hybrid, bvalues, cfg_g, seed=0, pt_id=7)
+        sx = cfg.roi_end - cfg.roi_start
+        assert result.recon_2x.shape == (2 * sx, 2 * sx, 3, 4)
+        assert result.sr_hr_grid.shape == (sx, sx, 3, 4)
+        assert (result.recon_2x >= 0).all()  # clamped
+        assert np.isfinite(result.recon_2x).all()
+        for row in result.ssim_rows:
+            assert -1.0 <= row[3] <= 1.0 and -1.0 <= row[4] <= 1.0
+        # the fit must actually learn its target (the LR mean): evaluate the
+        # fitted grid on the LR grid itself. (The HR grid interpolates between
+        # LR knots, and this fixture's b0 is white noise, so HR correlation is
+        # interpolation-limited by construction — not a fit-quality signal.)
+        from mri_super_resolution_tpu.models import GridINR
+        from mri_super_resolution_tpu.models.grid_inr import infer_tensor_grid
+
+        model = GridINR(num_levels=cfg_g.grid_levels,
+                        base_resolution=cfg_g.grid_base_resolution,
+                        features_per_level=cfg_g.grid_features,
+                        hidden=cfg_g.grid_hidden,
+                        z_divisor=cfg_g.grid_z_divisor)
+        r0, r1 = cfg.roi_start, cfg.roi_end
+        lr_mean = result.mean_img[r0:r1:2, r0:r1:2]
+        lr_fit = np.asarray(
+            infer_tensor_grid(model, result.inr_params, lr_mean.shape)
+        ).reshape(lr_mean.shape)
+        corr = np.corrcoef(lr_fit.ravel(), lr_mean.ravel())[0, 1]
+        assert corr > 0.8, corr
+        # coronal pass rides the tensor path (no inr_apply needed)
+        cor = superres3d.coronal_recon(result, None, cfg_g, transverse_length=8)
+        assert cor.shape == (2 * sx, 2 * sx, 8, 1)
+        assert np.isfinite(cor).all()
+
+    def test_tensor_vag_matches_gather_loss(self, tiny_setup):
+        """make_tensor_value_and_grad's loss equals the gather-path MSE on the
+        same mgrid — the hook must be a pure reformulation, not a new loss."""
+        import jax
+        import jax.numpy as jnp
+
+        from mri_super_resolution_tpu.core.coords import mgrid
+        from mri_super_resolution_tpu.models import GridINR
+        from mri_super_resolution_tpu.models.grid_inr import (
+            make_tensor_value_and_grad,
+        )
+
+        shape = (6, 6, 3, 4)
+        model = GridINR(num_levels=2, base_resolution=4, hidden=16)
+        coords = mgrid(shape)
+        params = model.init(jax.random.key(0), coords[:8])
+        target = jax.random.uniform(jax.random.key(1), (coords.shape[0], 1))
+        vag = make_tensor_value_and_grad(model, shape)
+        loss_t, grads = vag(params, coords, target)
+        loss_g = jnp.mean((model.apply(params, coords) - target) ** 2)
+        np.testing.assert_allclose(float(loss_t), float(loss_g), rtol=2e-5)
+        assert all(np.isfinite(x).all() for x in jax.tree.leaves(grads))
+
+
 class TestRestartOption:
     def test_run_patient_with_restarts(self, tiny_setup):
         """inr_restart_every routes the INR fit through restart_adam inside
