@@ -73,21 +73,22 @@ def main():
     x = jnp.asarray(rng.uniform(7000, 8000, (B, 32, 32, 9)).astype(np.float32))
     y = jnp.asarray(rng.uniform(7000, 8000, (B, 96, 96, 1)).astype(np.float32))
     m = jnp.ones_like(y)
+    w = jnp.ones((B,), jnp.float32)  # full batch: unit sample weights
     st = tr.init(x)
     p, o = st.params, st.opt_state
 
     t0 = time.perf_counter()
-    p, o, loss, _ = tr._train_step(p, o, x, y, m)
+    p, o, loss, _ = tr._train_step(p, o, x, y, m, w)
     jax.device_get(loss)
     print(f"compile+first step: {time.perf_counter()-t0:.1f}s", flush=True)
 
     for _ in range(3):
-        p, o, loss, _ = tr._train_step(p, o, x, y, m)
+        p, o, loss, _ = tr._train_step(p, o, x, y, m, w)
     jax.device_get(loss)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        p, o, loss, _ = tr._train_step(p, o, x, y, m)
+        p, o, loss, _ = tr._train_step(p, o, x, y, m, w)
     jax.device_get(loss)
     wall = (time.perf_counter() - t0) / args.steps
     fwd = conv_flops_per_step()
@@ -109,7 +110,7 @@ def main():
         return
     with jax.profiler.trace(args.trace):
         for _ in range(args.steps):
-            p, o, loss, _ = tr._train_step(p, o, x, y, m)
+            p, o, loss, _ = tr._train_step(p, o, x, y, m, w)
         jax.device_get(loss)
 
     try:

@@ -171,6 +171,40 @@ class TestGridModelOption:
         assert cor.shape == (2 * sx, 2 * sx, 8, 1)
         assert np.isfinite(cor).all()
 
+    def test_grid_export_serving_artifact(self, tiny_setup, tmp_path):
+        """--export_artifact with inr_model='grid': the artifact consumes raw
+        coords (no Fourier matrix baked in) and matches the gather apply."""
+        import dataclasses
+
+        import jax
+
+        from mri_super_resolution_tpu import serve
+        from mri_super_resolution_tpu.models import GridINR
+
+        hybrid, bvalues, cfg = tiny_setup
+        cfg_g = dataclasses.replace(
+            cfg, inr_model="grid", grid_levels=2, grid_base_resolution=4,
+            grid_hidden=16)
+        out = superres3d.run(
+            [(43, hybrid, bvalues)], cfg_g, str(tmp_path), seed=0,
+            export_artifact=True,
+        )
+        served = serve.load(os.path.join(out, "pat43", "artifact"))
+        assert served.manifest["kind"] == "inr"
+        assert served.manifest["coord_dim"] == 4
+        assert served.manifest["fourier_features"] is None
+        coords = jax.random.uniform(jax.random.key(3), (17, 4), minval=-1.0)
+        got = np.asarray(served(coords))
+        assert got.shape == (17, 1)
+        result = superres3d.run_patient(hybrid, bvalues, cfg_g, seed=0, pt_id=43)
+        inr = GridINR(num_levels=cfg_g.grid_levels,
+                      base_resolution=cfg_g.grid_base_resolution,
+                      features_per_level=cfg_g.grid_features,
+                      hidden=cfg_g.grid_hidden,
+                      z_divisor=cfg_g.grid_z_divisor)
+        want = np.asarray(inr.apply(result.inr_params, coords))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_tensor_vag_matches_gather_loss(self, tiny_setup):
         """make_tensor_value_and_grad's loss equals the gather-path MSE on the
         same mgrid — the hook must be a pure reformulation, not a new loss."""
