@@ -185,7 +185,11 @@ def measure_grid(steps: int) -> float:
     key = jax.random.key(0)
     coords = mgrid(SHAPE)
     target = jax.random.uniform(key, (coords.shape[0], 1))
-    model = GridINR(num_levels=4, base_resolution=6, growth=2.0, hidden=64)
+    # z_divisor=1 matches SupperresDWIConfig's pipeline setting (full z
+    # resolution per level — required on ROI grids where z is the largest
+    # axis), so this line times the same model the e2e evidence used
+    model = GridINR(num_levels=4, base_resolution=6, growth=2.0, hidden=64,
+                    z_divisor=1)
     params = model.init(key, coords[:8])
     tx = optax.adam(5e-3)
     apply = make_tensor_apply(model, SHAPE)

@@ -61,6 +61,13 @@ def main(argv=None):
     p.add_argument("--grid_levels", type=int, default=4)
     p.add_argument("--grid_base_resolution", type=int, default=6)
     p.add_argument("--grid_hidden", type=int, default=64)
+    p.add_argument("--grid_features", type=int, default=4,
+                   help="features per grid level")
+    p.add_argument("--grid_z_divisor", type=int, default=1,
+                   help="z grid resolution = max(R // divisor, 2); 1 (full "
+                        "z resolution) is required on ROI-cropped LR grids "
+                        "where z is the largest axis; 4 suits full volumes "
+                        "with sparse slices")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="SR_results")
     args = p.parse_args(argv)
@@ -80,6 +87,8 @@ def main(argv=None):
         grid_levels=args.grid_levels,
         grid_base_resolution=args.grid_base_resolution,
         grid_hidden=args.grid_hidden,
+        grid_features=args.grid_features,
+        grid_z_divisor=args.grid_z_divisor,
     )
 
     patients = []

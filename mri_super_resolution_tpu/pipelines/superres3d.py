@@ -56,6 +56,21 @@ def _identity(x):
     return x
 
 
+def _grid_model(cfg: SupperresDWIConfig):
+    """The pipeline's GridINR from its config — single construction point so
+    every consumer (fit, coronal pass, serving export, tests) builds the
+    same param tree."""
+    from mri_super_resolution_tpu.models import GridINR
+
+    return GridINR(
+        num_levels=cfg.grid_levels,
+        base_resolution=cfg.grid_base_resolution,
+        features_per_level=cfg.grid_features,
+        hidden=cfg.grid_hidden,
+        z_divisor=cfg.grid_z_divisor,
+    )
+
+
 @dataclasses.dataclass
 class SR3DResult:
     recon_2x: np.ndarray  # (2sx, 2sy, S, 4) super-resolved at 2x
@@ -142,18 +157,11 @@ def run_patient(
     padded_ff = padded_target = None
     pn_encode = None
     if use_grid:
-        from mri_super_resolution_tpu.models import GridINR
         from mri_super_resolution_tpu.models.grid_inr import (
             make_tensor_value_and_grad,
         )
 
-        inr = GridINR(
-            num_levels=cfg.grid_levels,
-            base_resolution=cfg.grid_base_resolution,
-            features_per_level=cfg.grid_features,
-            hidden=cfg.grid_hidden,
-            z_divisor=cfg.grid_z_divisor,
-        )
+        inr = _grid_model(cfg)
         inr_params = inr.init(kI, ff[:8])
         # mean-fit epochs ride the separable tensor-product path (the fit
         # grid IS mgrid(lr_shape)); the PN branch keeps the gather apply —
@@ -235,7 +243,6 @@ def run_patient(
         sr_hr = infer_dense_grid(
             inr_apply, res.inr_params, hr_shape, clamp_min=0.0, fourier_B=B
         ).reshape(hr_shape)
-    np.asarray(recon[:1])  # fence before the infer mark
     t_infer = time.perf_counter()
 
     # SSIM protocol (superresDWI.py:179-187) — the whole (slice x b) table is
@@ -358,17 +365,10 @@ def coronal_recon(
     ts = result.recon_2x.shape
     coronal_shape = (ts[0], ts[1], transverse_length, 1)
     if cfg.inr_model == "grid":
-        from mri_super_resolution_tpu.models import GridINR
         from mri_super_resolution_tpu.models.grid_inr import infer_tensor_grid
 
-        model = GridINR(
-            num_levels=cfg.grid_levels,
-            base_resolution=cfg.grid_base_resolution,
-            features_per_level=cfg.grid_features,
-            hidden=cfg.grid_hidden,
-            z_divisor=cfg.grid_z_divisor,
-        )
-        rec = infer_tensor_grid(model, result.inr_params, coronal_shape)
+        rec = infer_tensor_grid(_grid_model(cfg), result.inr_params,
+                                coronal_shape)
     else:
         rec = infer_dense_grid(inr_apply, result.inr_params, coronal_shape,
                                fourier_B=jnp.asarray(result.B))
@@ -440,15 +440,7 @@ def run(
             from mri_super_resolution_tpu import serve
 
             if cfg.inr_model == "grid":
-                from mri_super_resolution_tpu.models import GridINR
-
-                inr = GridINR(
-                    num_levels=cfg.grid_levels,
-                    base_resolution=cfg.grid_base_resolution,
-                    features_per_level=cfg.grid_features,
-                    hidden=cfg.grid_hidden,
-                    z_divisor=cfg.grid_z_divisor,
-                )
+                inr = _grid_model(cfg)
                 export_B = None
                 desc = (f"sr3d pat{pt_id}: grid_inr L{cfg.grid_levels}"
                         f" R{cfg.grid_base_resolution} h{cfg.grid_hidden}")

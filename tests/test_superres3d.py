@@ -151,14 +151,9 @@ class TestGridModelOption:
         # fitted grid on the LR grid itself. (The HR grid interpolates between
         # LR knots, and this fixture's b0 is white noise, so HR correlation is
         # interpolation-limited by construction — not a fit-quality signal.)
-        from mri_super_resolution_tpu.models import GridINR
         from mri_super_resolution_tpu.models.grid_inr import infer_tensor_grid
 
-        model = GridINR(num_levels=cfg_g.grid_levels,
-                        base_resolution=cfg_g.grid_base_resolution,
-                        features_per_level=cfg_g.grid_features,
-                        hidden=cfg_g.grid_hidden,
-                        z_divisor=cfg_g.grid_z_divisor)
+        model = superres3d._grid_model(cfg_g)
         r0, r1 = cfg.roi_start, cfg.roi_end
         lr_mean = result.mean_img[r0:r1:2, r0:r1:2]
         lr_fit = np.asarray(
@@ -179,7 +174,6 @@ class TestGridModelOption:
         import jax
 
         from mri_super_resolution_tpu import serve
-        from mri_super_resolution_tpu.models import GridINR
 
         hybrid, bvalues, cfg = tiny_setup
         cfg_g = dataclasses.replace(
@@ -197,11 +191,7 @@ class TestGridModelOption:
         got = np.asarray(served(coords))
         assert got.shape == (17, 1)
         result = superres3d.run_patient(hybrid, bvalues, cfg_g, seed=0, pt_id=43)
-        inr = GridINR(num_levels=cfg_g.grid_levels,
-                      base_resolution=cfg_g.grid_base_resolution,
-                      features_per_level=cfg_g.grid_features,
-                      hidden=cfg_g.grid_hidden,
-                      z_divisor=cfg_g.grid_z_divisor)
+        inr = superres3d._grid_model(cfg_g)
         want = np.asarray(inr.apply(result.inr_params, coords))
         np.testing.assert_allclose(got, want, atol=1e-5)
 
