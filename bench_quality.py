@@ -141,6 +141,15 @@ def main():
     run_model(
         "grid_inr_tensor", make_tensor_apply(grid, lr.shape), gp, optax.adam(5e-3)
     )
+    # z_divisor=1: the 3-D pipeline's configuration (full z resolution per
+    # level — the ROI LR grid's largest axis is z; see SupperresDWIConfig)
+    grid_z1 = GridINR(num_levels=4, base_resolution=6, growth=2.0, hidden=64,
+                      z_divisor=1)
+    gp1 = grid_z1.init(key, coords[:8])
+    run_model(
+        "grid_inr_tensor_z1", make_tensor_apply(grid_z1, lr.shape), gp1,
+        optax.adam(5e-3),
+    )
 
 
 if __name__ == "__main__":

@@ -51,6 +51,26 @@ class TestGridINR:
         assert float(g_res.losses[-1]) < float(s_res.losses[-1])
         assert float(g_res.losses[-1]) < 1e-3
 
+    def test_z_divisor_controls_z_resolution(self, rng):
+        """z grid resolution = max(R // z_divisor, 2); z_divisor=1 gives full
+        per-level z resolution (required on ROI grids where z is the largest
+        axis — see SupperresDWIConfig.grid_z_divisor) and the tensor path
+        agrees with the gather path at any divisor."""
+        from mri_super_resolution_tpu.core.coords import mgrid
+        from mri_super_resolution_tpu.models.grid_inr import grid_inr_tensor_apply
+
+        coords = jnp.asarray(rng.uniform(-1, 1, size=(8, 4)).astype(np.float32))
+        for div, want_z in ((4, [2, 2]), (1, [4, 8])):
+            model = GridINR(num_levels=2, base_resolution=4, z_divisor=div)
+            params = model.init(jax.random.key(0), coords)
+            zs = [params["params"][f"grid_{l}"].shape[2] for l in range(2)]
+            assert zs == want_z, (div, zs)
+            shape = (5, 5, 6, 4)
+            dense = grid_inr_tensor_apply(model, params, shape)
+            gather = model.apply(params, mgrid(shape))
+            np.testing.assert_allclose(
+                np.asarray(dense), np.asarray(gather), atol=2e-5)
+
     def test_b_embedding_distinguishes_b(self, rng):
         model = GridINR(num_levels=1, base_resolution=4, num_b=4)
         c0 = jnp.asarray([[0.1, 0.2, 0.0, -1.0]], jnp.float32)  # b slot 0
