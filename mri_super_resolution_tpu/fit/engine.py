@@ -526,6 +526,11 @@ def _grid_gen_runner(
     :func:`infer_dense_grid` volume-shape-independent: nothing about the
     grid is baked into the compiled program, and no (P, d) coordinate array
     is ever materialised in HBM or shipped over PCIe/tunnel.
+
+    As with :func:`_grid_runner`, the lru_cache keys on ``apply_fn``'s
+    identity — callers must pass a stable callable (a bound ``model.apply``
+    or an lru-cached adapter), never a fresh lambda/partial, or every call
+    pays a silent recompile and the cache grows permanently.
     """
     from mri_super_resolution_tpu.core.coords import fourier_encode
 
@@ -566,9 +571,24 @@ def infer_dense_grid(
     measured ~10 s per novel shape on tunnelled-compile environments, and
     ~50 s cold (results/round3_e2e). Matches ``mgrid`` + :func:`infer_grid`
     to f32 rounding (parity-tested). Returns a host ``(P, out)`` array.
+
+    Pass a STABLE ``apply_fn`` (a bound ``model.apply``, not a fresh
+    lambda/partial) — the compiled-program cache keys on the callable's
+    identity, so a fresh closure per call silently recompiles every time
+    and grows the cache without bound (same convention as
+    :func:`_grid_runner`).
+
+    The in-program index math is int32 (TPU-native); grids with >= 2^31
+    voxels would silently wrap, so they are rejected up front.
     """
     sizes_np = np.asarray(grid_shape, dtype=np.int32)
-    P = int(np.prod(sizes_np))
+    P = int(np.prod(np.asarray(grid_shape, dtype=np.int64)))
+    if P >= 2**31:
+        raise ValueError(
+            f"infer_dense_grid: grid {tuple(grid_shape)} has {P} voxels, "
+            "which overflows the int32 on-device index math; evaluate in "
+            "sub-volumes instead"
+        )
     use_fourier = fourier_B is not None
     B = fourier_B if use_fourier else jnp.zeros((0,))
     # grids smaller than the chunk run a power-of-two bucket instead of the

@@ -147,6 +147,10 @@ def run_patient(
         lr_acqs.reshape(-1, num_comb), -1, 0
     )[..., None]  # (N, P, 1), stays on device
 
+    # fence the async device work (expand_combinations + moveaxis) so its
+    # time lands in prep_s, not fit_s — device_get of one element blocks
+    # until the producing computation is done
+    jax.device_get(acq_pixels[0, 0])
     t_prep = time.perf_counter()
 
     pn = PerturbNet(hidden_features=cfg.pn_dim, dimension=dim)

@@ -227,6 +227,16 @@ class TestInferDenseGrid:
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=2e-6)
 
+    def test_rejects_int32_overflow_grids(self):
+        """Index math on device is int32; >= 2^31-voxel grids must be
+        rejected up front instead of silently wrapping (ADVICE r3)."""
+        from mri_super_resolution_tpu.fit.engine import infer_dense_grid
+
+        model = Siren(hidden_features=16, hidden_layers=1)
+        params = model.init(jax.random.key(0), mgrid((4, 4)))
+        with pytest.raises(ValueError, match="overflows the int32"):
+            infer_dense_grid(model.apply, params, (2048, 2048, 512, 4))
+
     def test_one_executable_per_rank(self):
         from mri_super_resolution_tpu.fit.engine import _grid_gen_runner
 
