@@ -284,7 +284,7 @@ def _imresize_matlab(img: np.ndarray, scale: float | tuple) -> np.ndarray:
 
 
 def spectral_residue_saliency(image: np.ndarray) -> np.ndarray:
-    """SR_SIM.m:88-115: spectral residual saliency (Hou & Zhang)."""
+    """SR_SIM.m:88-112: spectral residual saliency (Hou & Zhang)."""
     scale = 0.25
     in_img = _imresize_matlab(image, scale)
     f = fft2(in_img)

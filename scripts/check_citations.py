@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Citation checker: every file path / file:line cited in the docs and in
+source docstrings must still resolve.
+
+Two classes of citation are verified:
+
+1. Backticked repo paths in COMPONENTS.md, docs/API.md, docs/NOTEBOOKS.md,
+   docs/CLI.md — e.g. `fit/engine.py:fit_until` or `tests/test_erd.py`.
+   The path part must exist in the repo (impl paths may be relative to
+   `mri_super_resolution_tpu/`, per the COMPONENTS.md legend); a trailing
+   `:<symbol>` must appear as text in the file; a trailing `:N` or `:N-M`
+   line range must be within the file's length.
+
+2. Reference citations in package docstrings/comments — `<file>.py:N[-M]`
+   tokens (e.g. superresDWI.py:179-187) naming files under
+   /root/reference. The file must exist somewhere under the reference tree
+   and the line range must be within its length.
+
+Exit 0 = all resolve; exit 1 = failures listed on stdout. Run:
+    python scripts/check_citations.py
+"""
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = os.environ.get("MRI_SR_REFERENCE_DIR", "/root/reference")
+
+DOC_FILES = [
+    "COMPONENTS.md",
+    "docs/API.md",
+    "docs/NOTEBOOKS.md",
+    "docs/CLI.md",
+]
+
+# `path/to/file.py` optionally followed by :symbol or :N or :N-M
+BACKTICK_PATH = re.compile(
+    r"`([A-Za-z0-9_./-]+\.(?:py|cpp|cc|h|sh|md|json|csv|mat|npz|txt))"
+    r"(?::([A-Za-z0-9_./-]+))?`"
+)
+# reference citations inside source files: name.py:12 or name.py:12-34
+REF_CITE = re.compile(r"([A-Za-z0-9_./-]+\.(?:py|m|sh|ipynb)):(\d+)(?:-(\d+))?")
+
+SEARCH_PREFIXES = [
+    "",
+    "mri_super_resolution_tpu",
+    "tests",
+    "docs",
+    "scripts",
+    "cli",
+    "results",
+    "native",
+]
+
+
+def _line_count(path: str) -> int:
+    with open(path, "rb") as f:
+        return f.read().count(b"\n") + 1
+
+
+def resolve_repo_path(token: str) -> str | None:
+    for prefix in SEARCH_PREFIXES:
+        cand = os.path.join(REPO, prefix, token) if prefix else os.path.join(REPO, token)
+        if os.path.isfile(cand):
+            return cand
+    return None
+
+
+def check_docs() -> list[str]:
+    failures = []
+    for doc in DOC_FILES:
+        doc_path = os.path.join(REPO, doc)
+        if not os.path.isfile(doc_path):
+            continue
+        text = open(doc_path).read()
+        for m in BACKTICK_PATH.finditer(text):
+            token, suffix = m.group(1), m.group(2)
+            # glob-ish and placeholder tokens aren't citations
+            if "*" in token or "<" in token:
+                continue
+            path = resolve_repo_path(token)
+            if path is None:
+                # reference-repo citations in docs resolve under /root/reference
+                if _find_in_reference(os.path.basename(token)):
+                    continue
+                failures.append(f"{doc}: `{token}` does not resolve")
+                continue
+            if not suffix:
+                continue
+            if re.fullmatch(r"\d+(-\d+)?", suffix):
+                last = int(suffix.split("-")[-1])
+                if last > _line_count(path):
+                    failures.append(
+                        f"{doc}: `{token}:{suffix}` exceeds file length"
+                    )
+            else:
+                # symbol suffix (possibly "a/b" alternatives): each part must
+                # appear in the file text
+                body = open(path, errors="replace").read()
+                names = [n for part in suffix.split("/") for n in [part] if n]
+                if not any(n in body for n in names):
+                    failures.append(
+                        f"{doc}: `{token}:{suffix}` — symbol not found in file"
+                    )
+    return failures
+
+
+_REF_INDEX: dict[str, list[str]] | None = None
+
+
+def _find_in_reference(basename: str) -> list[str]:
+    global _REF_INDEX
+    if _REF_INDEX is None:
+        _REF_INDEX = {}
+        for root, _dirs, files in os.walk(REFERENCE):
+            for f in files:
+                _REF_INDEX.setdefault(f, []).append(os.path.join(root, f))
+    return _REF_INDEX.get(basename, [])
+
+
+def check_source_reference_citations() -> list[str]:
+    failures = []
+    if not os.path.isdir(REFERENCE):
+        print(f"note: {REFERENCE} absent; skipping reference-line checks")
+        return failures
+    src_roots = ["mri_super_resolution_tpu", "cli", "native", "tests"]
+    for root_name in src_roots:
+        for root, _dirs, files in os.walk(os.path.join(REPO, root_name)):
+            for fname in files:
+                if not fname.endswith((".py", ".cpp", ".h")):
+                    continue
+                path = os.path.join(root, fname)
+                text = open(path, errors="replace").read()
+                for m in REF_CITE.finditer(text):
+                    cited, a, b = m.group(1), int(m.group(2)), m.group(3)
+                    base = os.path.basename(cited)
+                    cands = _find_in_reference(base)
+                    if not cands:
+                        # not a reference citation (repo-internal file:line,
+                        # URLs, etc.) — only flag if it names no repo file
+                        # either
+                        if resolve_repo_path(cited) is None and \
+                           resolve_repo_path(base) is None:
+                            failures.append(
+                                f"{os.path.relpath(path, REPO)}: cites "
+                                f"{cited}:{m.group(0).split(':', 1)[1]} — "
+                                f"file not found in reference or repo"
+                            )
+                        continue
+                    last = int(b) if b else a
+                    if not any(last <= _line_count(c) for c in cands):
+                        failures.append(
+                            f"{os.path.relpath(path, REPO)}: {cited}:{a}"
+                            f"{'-' + b if b else ''} exceeds reference file "
+                            f"length"
+                        )
+    return failures
+
+
+def main() -> int:
+    failures = check_docs() + check_source_reference_citations()
+    if failures:
+        print(f"{len(failures)} citation failures:")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print("all citations resolve")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
