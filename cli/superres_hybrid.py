@@ -68,6 +68,19 @@ def main(argv=None):
     p.add_argument("--slices", type=int, nargs="*", default=None,
                    help="slice indices for tissue maps (default: middle slice)")
     p.add_argument("--nlls_iters", type=int, default=40)
+    p.add_argument("--roi_start", type=int, default=35,
+                   help="ROI start on both in-plane axes (superresHybrid.py "
+                        "crops 35:95)")
+    p.add_argument("--roi_end", type=int, default=95)
+    p.add_argument("--inr_model", choices=("siren", "grid"), default="siren",
+                   help="per-TE INR: the reference's FF-SIREN or the "
+                   "multiresolution dense-grid model (separable tensor-"
+                   "product fit path; far faster to a given quality)")
+    p.add_argument("--inr_restart_every", type=int, default=0,
+                   help=">0: periodic Adam-moment restarts on the INR fits "
+                   "(fit/optim.restart_adam)")
+    p.add_argument("--grid_z_divisor", type=int, default=1)
+    p.add_argument("--grid_lr", type=float, default=5e-3)
     p.add_argument("--tissue_fit", choices=("nlls", "pia"), default="nlls",
                    help="3-compartment fitter for tissue maps: the projected-LM "
                    "NLLS (reference behavior) or the amortized PIA encoder "
@@ -79,6 +92,9 @@ def main(argv=None):
     p.add_argument("--pia_train_steps", type=int, default=4000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="hybrid_results")
+    from mri_super_resolution_tpu.config import add_preset_arg
+
+    add_preset_arg(p, argv)
     args = p.parse_args(argv)
 
     cfg = HybridConfig(
@@ -87,6 +103,12 @@ def main(argv=None):
         num_layers=args.num_layers,
         mapping_size=args.mapping_size,
         nlls_iters=args.nlls_iters,
+        roi_start_x=args.roi_start, roi_end_x=args.roi_end,
+        roi_start_y=args.roi_start, roi_end_y=args.roi_end,
+        inr_model=args.inr_model,
+        inr_restart_every=args.inr_restart_every,
+        grid_z_divisor=args.grid_z_divisor,
+        grid_lr=args.grid_lr,
     )
 
     patients = []
@@ -124,6 +146,10 @@ def main(argv=None):
                                  train_steps=args.pia_train_steps,
                                  seed=args.seed)
 
+    import json
+    import time
+
+    all_timings = []
     for pt_id, hybrid_all, bvalues in patients:
         out_dir = os.path.join(args.out, f"pat{pt_id}")
         os.makedirs(out_dir, exist_ok=True)
@@ -131,9 +157,12 @@ def main(argv=None):
         result = fit_all_te(hybrid, cfg, seed=args.seed)
         S = result.recon_hybrid.shape[2]
         slices = args.slices if args.slices else [S // 2]
+        t_tissue = 0.0
         for _slice in slices:
+            t0 = time.perf_counter()
             maps = tissue_maps(result, bvalues, _slice=_slice,
                                nlls_iters=cfg.nlls_iters, fitter=fitter)
+            t_tissue += time.perf_counter() - t0  # maps are np — fenced
             np.savez_compressed(
                 os.path.join(out_dir, f"maps_slice_{_slice}.npz"),
                 D=maps.D, T2=maps.T2, v=maps.v, adc=maps.adc, cancer=maps.cancer,
@@ -141,7 +170,23 @@ def main(argv=None):
             _save_maps_png(maps, out_dir, _slice)
             frac = float(maps.cancer.mean())
             print(f"pat{pt_id} slice {_slice}: cancer-map fraction {frac:.4f}")
-        print(f"pat{pt_id}: maps in {out_dir}")
+        row = dict(result.timings, pt_id=str(pt_id),
+                   tissue_fit=args.tissue_fit, n_slices=len(slices),
+                   tissue_s_per_slice=t_tissue / max(len(slices), 1))
+        row["total_s"] = (row["prep_s"] + row["fit_s"] + row["infer_s"]
+                          + t_tissue)
+        all_timings.append(row)
+        print(f"pat{pt_id}: maps in {out_dir}; "
+              f"fit {row['fit_s']:.1f}s infer {row['infer_s']:.1f}s "
+              f"tissue {t_tissue:.1f}s")
+    # per-patient phase breakdown (first patient includes XLA compiles;
+    # warm rows are the steady state) — the superres3d timings.json analog
+    with open(os.path.join(args.out, "timings.json"), "w") as f:
+        json.dump({"config": {"epochs": cfg.number_of_epochs,
+                              "inr_model": cfg.inr_model,
+                              "inr_restart_every": cfg.inr_restart_every,
+                              "tissue_fit": args.tissue_fit},
+                   "patients": all_timings}, f, indent=1)
 
 
 if __name__ == "__main__":

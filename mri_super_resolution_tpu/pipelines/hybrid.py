@@ -16,6 +16,7 @@ ops/nlls; small-object removal is a pure-numpy connected-components pass
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +28,7 @@ from mri_super_resolution_tpu.core.coords import fourier_matrix, fourier_encode,
 from mri_super_resolution_tpu.fit.engine import infer_dense_grid
 from mri_super_resolution_tpu.models import Siren
 from mri_super_resolution_tpu.ops.nlls import hybrid_fit
-from mri_super_resolution_tpu.fit.optim import cached_adam
+from mri_super_resolution_tpu.fit.optim import cached_adam, restart_adam
 
 Array = jax.Array
 
@@ -47,12 +48,43 @@ class HybridConfig:
     roi_end_y: int = 95
     lr: float = 1e-4
     nlls_iters: int = 40
+    # "siren" = the reference's FF-SIREN per TE (superresHybrid.py:58-118).
+    # "grid" = the multiresolution dense-grid INR (models/grid_inr.py): all
+    # four per-TE fits ride the separable tensor-product path (scatter-free,
+    # all-MXU) — same trade as superres3d's --inr_model grid.
+    inr_model: str = "siren"
+    # >0: restart_adam(lr, every) on the INR fits (fit/optim.py) — measured
+    # faster time-to-PSNR AND higher final plateau than flat Adam on the
+    # sibling 3-D fit (results/round3_flagship/time_to_psnr.jsonl)
+    inr_restart_every: int = 0
+    grid_levels: int = 4
+    grid_base_resolution: int = 6
+    grid_features: int = 4
+    grid_hidden: int = 64
+    grid_lr: float = 5e-3
+    grid_z_divisor: int = 1  # ROI-cropped grids: z comparable to in-plane
+
+
+def _hybrid_grid_model(cfg: HybridConfig):
+    from mri_super_resolution_tpu.models import GridINR
+
+    return GridINR(
+        num_levels=cfg.grid_levels,
+        base_resolution=cfg.grid_base_resolution,
+        features_per_level=cfg.grid_features,
+        hidden=cfg.grid_hidden,
+        z_divisor=cfg.grid_z_divisor,
+    )
 
 
 @dataclasses.dataclass
 class HybridResult:
     recon_hybrid: np.ndarray  # (2sx, 2sy, S, 4, 4) de-normalised
     maxes: np.ndarray
+    # phase wall-clock (seconds), device-fenced at the prep/fit/infer
+    # boundaries. First call of a process includes XLA compiles; warm numbers
+    # are the per-patient steady state (results/round4_hybrid/).
+    timings: dict = dataclasses.field(default_factory=dict)
 
 
 def mean_over_acquisitions(hybrid_raw_all_acq) -> list[list[np.ndarray]]:
@@ -66,10 +98,47 @@ def mean_over_acquisitions(hybrid_raw_all_acq) -> list[list[np.ndarray]]:
     return out
 
 
+@functools.lru_cache(maxsize=32)
+def _make_fit_stack(vag, model, tx, num_epochs: int):
+    """Identity-stable jitted 4-TE vmapped fit program.
+
+    Keyed on the (lru-cached, hence stable) value_and_grad callable, the
+    model, the (cached) optimizer, and the epoch count — a fresh ``@jax.jit``
+    closure per patient would recompile the whole scanned program every call
+    (the silent multi-minute cost behind round 3's unexplained 553 s fit
+    timing). ``vag`` may be None (plain XLA autodiff through model.apply)."""
+
+    @jax.jit
+    def fit_stack(params_stack, ff_fit, targets_fit):
+        def one(params, target):
+            def step(carry, _):
+                p, o = carry
+                if vag is not None:
+                    loss, grads = vag(p, ff_fit, target)
+                else:
+                    loss, grads = jax.value_and_grad(
+                        lambda q: jnp.mean((model.apply(q, ff_fit) - target) ** 2)
+                    )(p)
+                updates, o = tx.update(grads, o)
+                return (optax.apply_updates(p, updates), o), loss
+
+            (p, _), losses = jax.lax.scan(
+                step, (params, tx.init(params)), None, length=num_epochs
+            )
+            return p, losses
+
+        return jax.vmap(one)(params_stack, targets_fit)
+
+    return fit_stack
+
+
 def fit_all_te(hybrid_raw, cfg: HybridConfig, seed: int = 0) -> HybridResult:
     """Fit the four per-TE volumes (vmapped) and assemble the 2x hybrid."""
+    import time
+
     from mri_super_resolution_tpu.pipelines.superres3d import normalize_hybrid
 
+    t0 = time.perf_counter()
     normed, maxes = normalize_hybrid(hybrid_raw)
     S = normed[0][0].shape[2]
     sx = cfg.roi_end_x - cfg.roi_start_x
@@ -83,67 +152,97 @@ def fit_all_te(hybrid_raw, cfg: HybridConfig, seed: int = 0) -> HybridResult:
         lr_targets.append(lr.reshape(-1, 1))
     lr_shape = (sx // 2 + sx % 2, sy // 2 + sy % 2, S, 4)
     targets = jnp.asarray(np.stack(lr_targets).astype(np.float32))  # (4, P, 1)
+    jax.device_get(targets[0, 0])  # fence: prep time stays in prep_s
+    t_prep = time.perf_counter()
 
+    use_grid = cfg.inr_model == "grid"
     key = jax.random.key(seed)
     kB, kI = jax.random.split(key)
     B = fourier_matrix(kB, cfg.mapping_size, 4, scale=cfg.ff_scale)
-    ff = fourier_encode(mgrid(lr_shape), B)
-
-    model = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
     keys = jax.random.split(kI, 4)
+
+    vag = None
+    if use_grid:
+        from mri_super_resolution_tpu.models.grid_inr import (
+            build_z_aux,
+            make_zbucket_value_and_grad,
+            pad_target_z,
+            z_bucket_for,
+        )
+
+        model = _hybrid_grid_model(cfg)
+        ff = mgrid(lr_shape)  # for model.init only
+        # z-bucketed separable fit: one executable per slice BUCKET, shared
+        # across patients with heterogeneous S (grid_inr.py rationale)
+        z_bucket = z_bucket_for(lr_shape[2])
+        vag = make_zbucket_value_and_grad(
+            model, lr_shape[0], lr_shape[1], z_bucket, lr_shape[3]
+        )
+        ff_fit = build_z_aux(model, lr_shape[2], z_bucket)
+        targets_fit = jax.vmap(
+            lambda t: pad_target_z(t, lr_shape, z_bucket)
+        )(targets)
+    else:
+        model = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
+        ff = fourier_encode(mgrid(lr_shape), B)
+        # the four per-TE fits ride the one-pass fused kernel on TPU
+        # (vmapped), with the loop-invariant coordinate pad hoisted out of
+        # the scan
+        ff_fit, targets_fit = ff, targets
+        if jax.devices()[0].platform == "tpu" and cfg.hidden_dim % 128 == 0:
+            from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
+                make_fused_value_and_grad, pad_rows_to)
+
+            vag = make_fused_value_and_grad(model, n_rows=ff.shape[0])
+            ff_fit = pad_rows_to(ff, 512)
+            pad = ff_fit.shape[0] - ff.shape[0]
+            targets_fit = jnp.pad(targets, ((0, 0), (0, pad), (0, 0)))
+
     params_stack = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *[model.init(k, ff[:8]) for k in keys]
     )
-    tx = cached_adam(cfg.lr)
+    inr_lr = cfg.grid_lr if use_grid else cfg.lr
+    tx = (restart_adam(inr_lr, cfg.inr_restart_every)
+          if cfg.inr_restart_every else cached_adam(inr_lr))
 
-    # the four per-TE fits ride the one-pass fused kernel on TPU (vmapped),
-    # with the loop-invariant coordinate pad hoisted out of the scan
-    vag = None
-    ff_fit, targets_fit = ff, targets
-    if jax.devices()[0].platform == "tpu" and cfg.hidden_dim % 128 == 0:
-        from mri_super_resolution_tpu.ops.pallas.siren_kernel import (
-            make_fused_value_and_grad, pad_rows_to)
-
-        vag = make_fused_value_and_grad(model, n_rows=ff.shape[0])
-        ff_fit = pad_rows_to(ff, 512)
-        pad = ff_fit.shape[0] - ff.shape[0]
-        targets_fit = jnp.pad(targets, ((0, 0), (0, pad), (0, 0)))
-
-    @jax.jit
-    def fit_stack(params_stack):
-        def one(params, target):
-            def step(carry, _):
-                p, o = carry
-                if vag is not None:
-                    loss, grads = vag(p, ff_fit, target)
-                else:
-                    loss, grads = jax.value_and_grad(
-                        lambda p: jnp.mean((model.apply(p, ff_fit) - target) ** 2)
-                    )(p)
-                updates, o = tx.update(grads, o)
-                return (optax.apply_updates(p, updates), o), loss
-
-            (p, _), losses = jax.lax.scan(
-                step, (params, tx.init(params)), None, length=cfg.number_of_epochs
-            )
-            return p, losses
-
-        return jax.vmap(one)(params_stack, targets_fit)
-
-    fitted, losses = fit_stack(params_stack)
+    fit_stack = _make_fit_stack(vag, model, tx, cfg.number_of_epochs)
+    fitted, losses = fit_stack(params_stack, ff_fit, targets_fit)
+    # fence the scanned fits (device_get: block_until_ready is unreliable on
+    # the tunnelled backend — see utils/profiling.py)
+    jax.device_get(jax.tree_util.tree_leaves(fitted)[0].ravel()[0])
+    t_fit = time.perf_counter()
 
     test_shape = (sx * 2, sy * 2, S, 4)
     recon_hybrid = np.zeros((sx * 2, sy * 2, S, 4, 4), dtype=np.float32)
     for te in range(4):
-        # infer_dense_grid: coords generated in-program — one executable
-        # across all four TEs AND every volume shape (fit/engine.py)
         params_te = jax.tree_util.tree_map(lambda x: x[te], fitted)
-        rec = infer_dense_grid(
-            model.apply, params_te, test_shape, clamp_min=0.0, fourier_B=B
-        ).reshape(test_shape)
+        if use_grid:
+            from mri_super_resolution_tpu.models.grid_inr import (
+                infer_tensor_grid,
+            )
+
+            rec = np.asarray(
+                infer_tensor_grid(model, params_te, test_shape, clamp_min=0.0)
+            ).reshape(test_shape)
+        else:
+            # infer_dense_grid: coords generated in-program — one executable
+            # across all four TEs AND every volume shape (fit/engine.py)
+            rec = infer_dense_grid(
+                model.apply, params_te, test_shape, clamp_min=0.0, fourier_B=B
+            ).reshape(test_shape)
         for b in range(4):
             recon_hybrid[:, :, :, b, te] = rec[:, :, :, b] * maxes[b, te]
-    return HybridResult(recon_hybrid, maxes)
+    t_infer = time.perf_counter()
+    timings = {
+        "prep_s": t_prep - t0,
+        "fit_s": t_fit - t_prep,
+        "infer_s": t_infer - t_fit,
+        "fit_epochs": cfg.number_of_epochs,
+        "lr_voxels_per_te": int(targets.shape[1]),
+        "inr_model": cfg.inr_model,
+        "platform": jax.devices()[0].platform,
+    }
+    return HybridResult(recon_hybrid, maxes, timings)
 
 
 def remove_small_objects(mask: np.ndarray, min_size: int = 12) -> np.ndarray:

@@ -150,6 +150,27 @@ class TestHybridPipeline:
         assert maps.cancer.dtype == bool
         np.testing.assert_allclose(maps.v.sum(-1), 1.0, atol=1e-4)
 
+    def test_end_to_end_grid_model(self, rng):
+        """--inr_model grid + restart_adam rides the separable tensor path
+        for all four TE fits (hybrid.py fit_all_te grid branch)."""
+        from mri_super_resolution_tpu.data import synthetic
+
+        b0 = np.abs(rng.normal(1.0, 0.2, (20, 20, 2))).astype(np.float32)
+        hybrid_all = synthetic.hybrid_from_b0(b0, acq_counts=(1, 2, 2, 2), seed=0)
+        hybrid = mean_over_acquisitions(hybrid_all)
+        cfg = HybridConfig(
+            number_of_epochs=30, roi_start_x=2, roi_end_x=18,
+            roi_start_y=2, roi_end_y=18, inr_model="grid",
+            inr_restart_every=10, grid_levels=2, grid_base_resolution=4,
+            grid_hidden=16,
+        )
+        result = fit_all_te(hybrid, cfg, seed=0)
+        assert result.recon_hybrid.shape == (32, 32, 2, 4, 4)
+        assert (result.recon_hybrid >= 0).all()
+        assert np.isfinite(result.recon_hybrid).all()
+        assert result.timings["inr_model"] == "grid"
+        assert result.timings["fit_s"] > 0
+
     def test_tissue_maps_pia_fitter(self, rng):
         """make_pia_fitter drops into tissue_maps in place of the NLLS."""
         from mri_super_resolution_tpu.pipelines.hybrid import (
