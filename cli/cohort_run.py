@@ -23,6 +23,9 @@ def main(argv=None):
     p.add_argument("--hidden_layers", type=int, default=6)
     p.add_argument("--limit_cases", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--inr_restart_every", type=int, default=0,
+                   help=">0: periodic Adam-moment restarts on the per-case "
+                        "fits (fit/optim.restart_adam)")
     p.add_argument("--tensorboard_dir", default=None,
                    help="write per-case loss curves as tfevents under this dir")
     p.add_argument("--distributed", action="store_true",
@@ -30,6 +33,9 @@ def main(argv=None):
                         "rank from MRI_SR_COORDINATOR / MRI_SR_NUM_PROCESSES /"
                         " MRI_SR_PROCESS_ID or auto-detection; see "
                         "docs/MULTIHOST.md")
+    from mri_super_resolution_tpu.config import add_preset_arg
+
+    add_preset_arg(p, argv)
     args = p.parse_args(argv)
 
     if args.distributed:
@@ -51,6 +57,7 @@ def main(argv=None):
         hidden_features=args.hidden_features,
         hidden_layers=args.hidden_layers,
         seed=args.seed,
+        inr_restart_every=args.inr_restart_every,
     )
     if args.tensorboard_dir:
         from mri_super_resolution_tpu.utils.tbevents import EventWriter

@@ -51,11 +51,20 @@ def main(argv=None):
                         "(0 = reference flat Adam; 100 measured faster "
                         "time-to-PSNR — see fit/optim.py for the evidence "
                         "and its caveats)")
-    p.add_argument("--inr_model", choices=("siren", "grid"), default="siren",
+    p.add_argument("--inr_model", choices=("siren", "grid", "wire"),
+                   default="siren",
                    help="volume INR family: the reference's FF-SIREN "
-                        "(parity default) or the multiresolution dense-grid "
+                        "(parity default), the multiresolution dense-grid "
                         "model (models/grid_inr.py; separable tensor-product "
-                        "fit/inference — far faster to a given quality)")
+                        "fit/inference — far faster to a given quality), or "
+                        "the WIRE complex-Gabor INR (models/wire.py, "
+                        "INRmodel.py:66-120) on raw coords via the fused "
+                        "Gabor kernel")
+    p.add_argument("--wire_hidden", type=int, default=256)
+    p.add_argument("--wire_layers", type=int, default=2)
+    p.add_argument("--wire_lr", type=float, default=5e-3)
+    p.add_argument("--wire_omega", type=float, default=10.0)
+    p.add_argument("--wire_sigma", type=float, default=10.0)
     p.add_argument("--grid_lr", type=float, default=5e-3,
                    help="Adam lr for --inr_model grid")
     p.add_argument("--grid_levels", type=int, default=4)
@@ -70,6 +79,9 @@ def main(argv=None):
                         "with sparse slices")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="SR_results")
+    from mri_super_resolution_tpu.config import add_preset_arg
+
+    add_preset_arg(p, argv)
     args = p.parse_args(argv)
 
     cfg = SupperresDWIConfig(
@@ -89,6 +101,11 @@ def main(argv=None):
         grid_hidden=args.grid_hidden,
         grid_features=args.grid_features,
         grid_z_divisor=args.grid_z_divisor,
+        wire_hidden=args.wire_hidden,
+        wire_layers=args.wire_layers,
+        wire_lr=args.wire_lr,
+        wire_omega=args.wire_omega,
+        wire_sigma=args.wire_sigma,
     )
 
     patients = []

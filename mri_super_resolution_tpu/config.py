@@ -58,8 +58,15 @@ class SupperresDWIConfig:
     # mean-fit epochs and all dense-grid inference ride the separable
     # tensor-product path (scatter-free, all-MXU) and the PN alternation
     # uses the gather path on perturbed coords. Far faster to a given
-    # quality (bench_quality.py; results/round3_grid3d/).
+    # quality (bench_quality.py; results/round3_grid3d/). "wire" = the
+    # complex-Gabor INR (models/wire.py, INRmodel.py:66-120 re-designed as
+    # paired real ops) on raw 4-D coords via the fused Gabor kernel.
     inr_model: str = "siren"
+    wire_hidden: int = 256
+    wire_layers: int = 2
+    wire_lr: float = 5e-3
+    wire_omega: float = 10.0
+    wire_sigma: float = 10.0
     grid_levels: int = 4
     grid_base_resolution: int = 6
     grid_features: int = 4
@@ -68,6 +75,63 @@ class SupperresDWIConfig:
     # ROI-cropped LR grids (25x25x28) have z as the largest axis — full
     # z resolution per level, unlike the full-volume default of 4
     grid_z_divisor: int = 1
+
+
+# --------------------------------------------------------------------------
+# Presets — one flag reproducing the best committed configurations.
+#
+# "reference": exact reference behavior (FF-SIREN, flat Adam, 2500 epochs).
+# "quality":   grid INR (z_divisor 1) + restart_adam(5e-3, 250) — strictly
+#              dominates the reference arm in round-3 evidence: time-to-40dB
+#              6.8x faster, finals 66.5-73.8 dB seed-stable vs ~55 dB
+#              (results/round3_grid3d/, round3_flagship/time_to_psnr.jsonl),
+#              AND wins the downstream split-acquisition masked-SSIM protocol
+#              (+0.0042 paired, 161/224; results/round3_lowres_split/).
+# "fast":      the quality arm stopped at 600 epochs with the PerturbNet
+#              alternation off — past the 40 dB knee with margin; for
+#              screening runs where wall-clock beats the last dB.
+#
+# Keys are CLI flag dests (superres_dwi / cohort_run / superres_hybrid share
+# names); each CLI applies the subset of keys it knows via
+# argparse.set_defaults, so explicit flags always beat the preset.
+PRESETS: dict[str, dict] = {
+    "reference": {},
+    "quality": {
+        "inr_model": "grid",
+        "grid_z_divisor": 1,
+        "grid_lr": 5e-3,
+        "inr_restart_every": 250,
+    },
+    "fast": {
+        "inr_model": "grid",
+        "grid_z_divisor": 1,
+        "grid_lr": 5e-3,
+        "inr_restart_every": 250,
+        "epochs": 600,
+        "pn_epochs": 0,
+    },
+}
+
+
+def add_preset_arg(parser, argv=None) -> None:
+    """Add --preset and re-seed the parser's defaults from the chosen preset
+    (pre-parses just --preset; explicit flags still override)."""
+    parser.add_argument(
+        "--preset", choices=sorted(PRESETS), default="reference",
+        help="config preset: 'reference' = exact reference behavior; "
+        "'quality' = grid INR + restart_adam (dominates reference on "
+        "time-to-PSNR, final PSNR, and the SSIM protocol — see "
+        "config.PRESETS); 'fast' = quality stopped at 600 epochs, no PN",
+    )
+    import sys
+
+    args = sys.argv[1:] if argv is None else list(argv)
+    pre, _ = parser.parse_known_args(
+        [a for a in args if a not in ("--help", "-h")]
+    )
+    known = {a.dest for a in parser._actions}
+    parser.set_defaults(**{k: v for k, v in PRESETS[pre.preset].items()
+                           if k in known})
 
 
 @dataclasses.dataclass

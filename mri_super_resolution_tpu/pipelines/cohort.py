@@ -24,7 +24,7 @@ from mri_super_resolution_tpu.core.normalize import to_tensor_normalize
 from mri_super_resolution_tpu.data import Case
 from mri_super_resolution_tpu.models import Siren
 from mri_super_resolution_tpu.parallel import make_mesh, make_cohort_fit, stack_params
-from mri_super_resolution_tpu.fit.optim import cached_adam
+from mri_super_resolution_tpu.fit.optim import cached_adam, restart_adam
 
 
 @dataclasses.dataclass
@@ -44,6 +44,7 @@ def run_cohort(
     roi: tuple[int, int] = (40, 100),
     case_axis: int | None = None,
     seed: int = 0,
+    inr_restart_every: int = 0,
 ) -> CohortResult:
     """Fit each case's cancer-slice ROI mean image, all cases in parallel."""
     r0, r1 = roi
@@ -73,7 +74,9 @@ def run_cohort(
     keys = jax.random.split(jax.random.key(seed), C)
     params_stack = stack_params([model.init(k, coords[:4]) for k in keys])
 
-    fit = make_cohort_fit(model.apply, cached_adam(learning_rate), mesh, num_steps)
+    tx = (restart_adam(learning_rate, inr_restart_every)
+          if inr_restart_every else cached_adam(learning_rate))
+    fit = make_cohort_fit(model.apply, tx, mesh, num_steps)
 
     # compile (excluded from throughput)
     warm = fit(jax.tree.map(jnp.copy, params_stack), coords_stack, targets)

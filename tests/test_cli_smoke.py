@@ -150,3 +150,63 @@ def test_inr_toy_end_to_end(tmp_path):
         ]
     )
     assert out.exists(), "inr_toy saved no checkpoint"
+
+
+class TestPresets:
+    """--preset wiring (config.PRESETS): preset beats parser defaults,
+    explicit flags beat the preset."""
+
+    def _parse(self, argv):
+        """Run superres_dwi's parser up to parse_args via a stub pipeline."""
+        import argparse
+
+        from mri_super_resolution_tpu.config import PRESETS, add_preset_arg
+
+        p = argparse.ArgumentParser()
+        p.add_argument("--epochs", type=int, default=2500)
+        p.add_argument("--pn_epochs", type=int, default=10)
+        p.add_argument("--inr_model", choices=("siren", "grid"),
+                       default="siren")
+        p.add_argument("--inr_restart_every", type=int, default=0)
+        p.add_argument("--grid_lr", type=float, default=5e-3)
+        p.add_argument("--grid_z_divisor", type=int, default=1)
+        add_preset_arg(p, argv)
+        assert set(PRESETS) == {"reference", "fast", "quality"}
+        return p.parse_args(argv)
+
+    def test_reference_is_default(self):
+        args = self._parse([])
+        assert args.inr_model == "siren" and args.epochs == 2500
+        assert args.inr_restart_every == 0
+
+    def test_quality_sets_grid_restart(self):
+        args = self._parse(["--preset", "quality"])
+        assert args.inr_model == "grid"
+        assert args.inr_restart_every == 250
+        assert args.grid_z_divisor == 1
+        assert args.epochs == 2500  # quality keeps the reference schedule
+
+    def test_fast_caps_epochs_no_pn(self):
+        args = self._parse(["--preset", "fast"])
+        assert args.inr_model == "grid"
+        assert args.epochs == 600 and args.pn_epochs == 0
+
+    def test_explicit_flag_beats_preset(self):
+        args = self._parse(["--preset", "quality", "--inr_model", "siren",
+                            "--epochs", "100"])
+        assert args.inr_model == "siren" and args.epochs == 100
+        assert args.inr_restart_every == 250  # untouched keys still preset
+
+    def test_unknown_keys_filtered(self):
+        """cohort_run has no grid dests — preset applies only known keys."""
+        import argparse
+
+        from mri_super_resolution_tpu.config import add_preset_arg
+
+        p = argparse.ArgumentParser()
+        p.add_argument("--steps", type=int, default=1000)
+        p.add_argument("--inr_restart_every", type=int, default=0)
+        add_preset_arg(p, ["--preset", "quality"])
+        args = p.parse_args(["--preset", "quality"])
+        assert args.inr_restart_every == 250
+        assert not hasattr(args, "inr_model")
