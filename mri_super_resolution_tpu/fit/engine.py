@@ -315,6 +315,7 @@ class AlternatingResult(NamedTuple):
         "pn_epochs",
         "inr_value_and_grad",
         "pn_encode",
+        "phase2_start",
     ),
     donate_argnames=("inr_params", "pn_params"),
 )
@@ -338,6 +339,7 @@ def fit_alternating_pn(
     inr_opt_state=None,
     pn_opt_state=None,
     pn_encode: Callable | None = None,
+    phase2_start: int | None = None,
 ) -> AlternatingResult:
     """superresDWI.py:132-156: ``num_epochs - pn_epochs`` INR-on-mean steps,
     then ``pn_epochs`` alternating steps — odd: INR-on-mean; even: one
@@ -363,6 +365,13 @@ def fit_alternating_pn(
     ``pn_encode`` maps the PN output to the INR's input space; the default
     re-applies the Fourier mapping with ``B`` (the reference's double-mapping
     quirk). Models that consume raw coordinates (GridINR) pass identity.
+
+    ``phase2_start`` overrides the absolute epoch index of the first
+    alternating step (default ``num_epochs - pn_epochs``). Callers that run
+    the mean-fit phase in a SEPARATE program (the z-bucketed grid path) call
+    this with ``num_epochs == pn_epochs`` plus the true offset so the
+    odd/even parity of the alternation matches the reference's absolute
+    epoch numbering (superresDWI.py:146-156).
     """
     inr_opt = inr_tx.init(inr_params) if inr_opt_state is None else inr_opt_state
     pn_opt = pn_tx.init(pn_params) if pn_opt_state is None else pn_opt_state
@@ -429,7 +438,8 @@ def fit_alternating_pn(
         )
         return (inr_params, inr_opt, pn_params, pn_opt), loss
 
-    epochs = jnp.arange(num_epochs - pn_epochs, num_epochs)
+    start = num_epochs - pn_epochs if phase2_start is None else phase2_start
+    epochs = jnp.arange(start, start + pn_epochs)
     (inr_params, inr_opt, pn_params, pn_opt), p2_losses = jax.lax.scan(
         phase2_step, (inr_params, inr_opt, pn_params, pn_opt), epochs
     )

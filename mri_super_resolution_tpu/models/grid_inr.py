@@ -143,22 +143,18 @@ def _mlp_head(p: dict, h: Array) -> Array:
     return h @ p["Dense_2"]["kernel"] + p["Dense_2"]["bias"]
 
 
-def grid_inr_tensor_apply(model: "GridINR", params, shape: tuple) -> Array:
-    """Evaluate a GridINR on the full ``mgrid(shape)`` grid separably.
-
-    Drop-in replacement for ``model.apply(params, mgrid(shape))`` whenever
-    the coordinates are the tensor-product grid itself (every fit and
-    dense-inference call in the pipelines). Returns (prod(shape), out).
-    """
-    nx, ny, nz, nb = shape
-    p = params["params"]
+def _tensor_apply_with_z(model: "GridINR", p, nx: int, ny: int,
+                         Az_list, nz: int, nb: int) -> Array:
+    """Separable forward with per-level z-interpolation matrices supplied by
+    the caller (static for :func:`grid_inr_tensor_apply`, traced for the
+    z-bucketed fit path). Returns (nx*ny*nz*nb, out)."""
     feats = []
     for l in range(model.num_levels):
         g = p[f"grid_{l}"]  # (Rx, Ry, Rz, F)
-        Rx, Ry, Rz, _ = g.shape
+        Rx, Ry, _, _ = g.shape
         Ax = _axis_weights(nx, Rx, g.dtype)
         Ay = _axis_weights(ny, Ry, g.dtype)
-        Az = _axis_weights(nz, Rz, g.dtype)
+        Az = Az_list[l]  # (nz, Rz)
         t = jnp.einsum("xa,abcf->xbcf", Ax, g)
         t = jnp.einsum("yb,xbcf->xycf", Ay, t)
         t = jnp.einsum("zc,xycf->xyzf", Az, t)
@@ -182,6 +178,22 @@ def grid_inr_tensor_apply(model: "GridINR", params, shape: tuple) -> Array:
         axis=-1,
     ).reshape(nx * ny * nz * nb, lf + b_feat.shape[-1])
     return _mlp_head(p, h)
+
+
+def grid_inr_tensor_apply(model: "GridINR", params, shape: tuple) -> Array:
+    """Evaluate a GridINR on the full ``mgrid(shape)`` grid separably.
+
+    Drop-in replacement for ``model.apply(params, mgrid(shape))`` whenever
+    the coordinates are the tensor-product grid itself (every fit and
+    dense-inference call in the pipelines). Returns (prod(shape), out).
+    """
+    nx, ny, nz, nb = shape
+    p = params["params"]
+    Az_list = []
+    for l in range(model.num_levels):
+        Rz = p[f"grid_{l}"].shape[2]
+        Az_list.append(_axis_weights(nz, Rz, p[f"grid_{l}"].dtype))
+    return _tensor_apply_with_z(model, p, nx, ny, Az_list, nz, nb)
 
 
 @functools.lru_cache(maxsize=64)
@@ -214,6 +226,95 @@ def make_tensor_value_and_grad(model: "GridINR", shape: tuple):
         return jax.value_and_grad(loss_fn)(params)
 
     return vag
+
+
+# --------------------------------------------------------------------------
+# z-bucketed fit path — one executable per slice-count BUCKET
+# --------------------------------------------------------------------------
+#
+# The tensor fit program above is shape-specialized: a cohort patient with a
+# novel slice count S pays a fresh 15-30 s compile of the whole scanned fit.
+# The in-plane ROI sides (nx, ny) and b count are cohort-constant; only S
+# varies. So: pad the z axis to the next power-of-two bucket, ship the
+# per-level z-interpolation matrices (rows beyond S zeroed) PLUS a z validity
+# mask as ONE runtime array, and compute a masked MSE whose normalizer is the
+# true voxel count. Padded rows contribute exactly zero loss and zero
+# gradient (their Az rows are zero AND the mask zeroes their residuals), so
+# the fit is bit-equivalent in expectation to the unbucketed program while
+# every S in a bucket shares one executable.
+
+
+def _level_z_res(model: "GridINR") -> list[int]:
+    """Per-level z grid resolutions, matching GridINR.__call__'s params."""
+    out = []
+    for l in range(model.num_levels):
+        R = int(round(model.base_resolution * model.growth**l))
+        out.append(max(R // model.z_divisor, 2))
+    return out
+
+
+def z_bucket_for(nz: int) -> int:
+    """Power-of-two bucket for a slice count (min 4)."""
+    return max(4, 1 << (int(nz) - 1).bit_length())
+
+
+def build_z_aux(model: "GridINR", nz: int, z_bucket: int | None = None) -> Array:
+    """(z_bucket, sum(Rz_l) + 1) runtime aux: per-level z-interpolation
+    matrices for ``nz`` true slices padded with zero rows, then a validity
+    mask column (1 for the first ``nz`` rows)."""
+    if z_bucket is None:
+        z_bucket = z_bucket_for(nz)
+    assert z_bucket >= nz
+    cols = []
+    for Rz in _level_z_res(model):
+        Az = _axis_weights(nz, Rz)
+        cols.append(jnp.pad(Az, ((0, z_bucket - nz), (0, 0))))
+    mask = jnp.zeros((z_bucket, 1)).at[:nz, 0].set(1.0)
+    return jnp.concatenate(cols + [mask], axis=1)
+
+
+@functools.lru_cache(maxsize=64)
+def make_zbucket_value_and_grad(model: "GridINR", nx: int, ny: int,
+                                z_bucket: int, nb: int):
+    """Identity-stable ``(params, z_aux, target_padded) -> (loss, grads)``
+    keyed on (model-config, nx, ny, z_bucket, nb) — NOT on the true slice
+    count. ``z_aux`` is :func:`build_z_aux`'s array; ``target_padded`` is the
+    (nx*ny*z_bucket*nb, 1) target with arbitrary values in padded-z rows
+    (they are masked out). The loss equals the unbucketed
+    ``mean((pred - target)**2)`` over the true voxels exactly.
+
+    Signature-compatible with the fit engine's ``value_and_grad_fn`` /
+    ``inr_value_and_grad`` hooks (z_aux rides the coords slot, like the
+    SIREN kernel's ``padded_ff``)."""
+    res = _level_z_res(model)
+    offs = [0]
+    for R in res:
+        offs.append(offs[-1] + R)
+
+    def vag(params, z_aux, target):
+        def loss_fn(prm):
+            p = prm["params"]
+            Az_list = [z_aux[:, offs[l]:offs[l + 1]] for l in range(len(res))]
+            pred = _tensor_apply_with_z(model, p, nx, ny, Az_list, z_bucket, nb)
+            mask = z_aux[:, -1]  # (z_bucket,)
+            r2 = (pred - target) ** 2
+            w = jnp.broadcast_to(
+                mask[None, None, :, None, None], (nx, ny, z_bucket, nb, 1)
+            ).reshape(-1, 1)
+            return jnp.sum(r2 * w) / (nx * ny * nb * jnp.sum(mask))
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    return vag
+
+
+def pad_target_z(target: Array, shape: tuple, z_bucket: int) -> Array:
+    """Pad a flattened (prod(shape), 1) mgrid-ordered target along the z axis
+    to ``z_bucket`` planes (zeros; masked out by the z-bucketed loss)."""
+    nx, ny, nz, nb = shape
+    t = target.reshape(nx, ny, nz, nb, -1)
+    t = jnp.pad(t, ((0, 0), (0, 0), (0, z_bucket - nz), (0, 0), (0, 0)))
+    return t.reshape(nx * ny * z_bucket * nb, -1)
 
 
 @functools.lru_cache(maxsize=64)

@@ -117,3 +117,95 @@ class TestTensorApply:
         g = jax.grad(loss)(params)
         for l in range(2):
             assert float(jnp.max(jnp.abs(g["params"][f"grid_{l}"]))) > 0.0
+
+
+class TestZBucketedFit:
+    """z-bucketed fit path (grid_inr.py): one executable per slice BUCKET,
+    with exact loss/grad parity vs the shape-specialized tensor program."""
+
+    def _model_params(self, seed=0):
+        model = GridINR(num_levels=2, base_resolution=4, hidden=16,
+                        z_divisor=1)
+        coords = mgrid((5, 5, 3, 4))
+        params = model.init(jax.random.key(seed), coords[:8])
+        return model, params
+
+    def test_bucket_for(self):
+        from mri_super_resolution_tpu.models.grid_inr import z_bucket_for
+
+        assert z_bucket_for(3) == 4
+        assert z_bucket_for(4) == 4
+        assert z_bucket_for(5) == 8
+        assert z_bucket_for(28) == 32
+        assert z_bucket_for(1) == 4
+
+    def test_loss_and_grad_parity(self, rng):
+        """Masked z-padded loss == unbucketed MSE; grads match exactly."""
+        from mri_super_resolution_tpu.models.grid_inr import (
+            build_z_aux, make_tensor_value_and_grad,
+            make_zbucket_value_and_grad, pad_target_z, z_bucket_for)
+
+        model, params = self._model_params()
+        shape = (5, 5, 3, 4)
+        target = jnp.asarray(
+            rng.uniform(0, 1, (np.prod(shape), 1)).astype(np.float32))
+
+        vag_ref = make_tensor_value_and_grad(model, shape)
+        loss_ref, g_ref = vag_ref(params, None, target)
+
+        zb = z_bucket_for(shape[2])
+        vag_z = make_zbucket_value_and_grad(model, shape[0], shape[1], zb,
+                                            shape[3])
+        z_aux = build_z_aux(model, shape[2], zb)
+        t_pad = pad_target_z(target, shape, zb)
+        loss_z, g_z = vag_z(params, z_aux, t_pad)
+
+        np.testing.assert_allclose(float(loss_z), float(loss_ref), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_z)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_shared_executable_across_slice_counts(self):
+        """Two different S in one bucket hit the SAME vag identity and the
+        same traced shapes — i.e. the fit program cannot re-specialize."""
+        from mri_super_resolution_tpu.models.grid_inr import (
+            build_z_aux, make_zbucket_value_and_grad, pad_target_z,
+            z_bucket_for)
+
+        model, params = self._model_params()
+        assert z_bucket_for(5) == z_bucket_for(7) == 8
+        vag5 = make_zbucket_value_and_grad(model, 5, 5, 8, 4)
+        vag7 = make_zbucket_value_and_grad(model, 5, 5, 8, 4)
+        assert vag5 is vag7
+        aux5 = build_z_aux(model, 5, 8)
+        aux7 = build_z_aux(model, 7, 8)
+        assert aux5.shape == aux7.shape
+        t5 = pad_target_z(jnp.ones((5 * 5 * 5 * 4, 1)), (5, 5, 5, 4), 8)
+        t7 = pad_target_z(jnp.ones((5 * 5 * 7 * 4, 1)), (5, 5, 7, 4), 8)
+        assert t5.shape == t7.shape
+
+    def test_fit_simple_converges_through_bucket(self, rng):
+        """End-to-end: the z-bucketed vag drives fit_simple to a lower loss
+        and the fitted params evaluate sensibly on the TRUE grid."""
+        from mri_super_resolution_tpu.models.grid_inr import (
+            build_z_aux, infer_tensor_grid, make_zbucket_value_and_grad,
+            pad_target_z, z_bucket_for)
+
+        model, params = self._model_params()
+        shape = (6, 6, 3, 4)
+        coords = mgrid(shape)
+        params = model.init(jax.random.key(0), coords[:8])
+        img = rng.uniform(0.2, 0.8, shape).astype(np.float32)
+        target = jnp.asarray(img.reshape(-1, 1))
+
+        zb = z_bucket_for(shape[2])
+        vag = make_zbucket_value_and_grad(model, *shape[:2], zb, shape[3])
+        z_aux = build_z_aux(model, shape[2], zb)
+        t_pad = pad_target_z(target, shape, zb)
+        tx = optax.adam(5e-3)
+        res = fit_simple(model.apply, tx, params, z_aux, t_pad, 200,
+                         value_and_grad_fn=vag)
+        assert float(res.losses[-1]) < float(res.losses[0]) * 0.5
+        pred = infer_tensor_grid(model, res.params, shape)
+        mse = float(jnp.mean((pred - target) ** 2))
+        assert mse <= float(res.losses[-1]) * 1.2
