@@ -93,6 +93,11 @@ def load_mat(path: str, key: str | None = None, prefer_native: bool = False):
                         f"{path}: cannot decode MATLAB v7.3 entry {k!r} "
                         f"({type(e).__name__}: {e})") from e
     if key is not None:
+        if key not in data:
+            raise KeyError(
+                f"{path}: variable {key!r} not found; file contains "
+                f"{sorted(data)}"
+            )
         return data[key]
     return data
 

@@ -71,6 +71,19 @@ def _grid_model(cfg: SupperresDWIConfig):
     )
 
 
+def _wire_model(cfg: SupperresDWIConfig):
+    """The pipeline's Wire INR from its config (single construction point,
+    same rationale as :func:`_grid_model`)."""
+    from mri_super_resolution_tpu.models import Wire
+
+    return Wire(
+        hidden_features=cfg.wire_hidden,
+        hidden_layers=cfg.wire_layers,
+        omega_0=cfg.wire_omega,
+        sigma_0=cfg.wire_sigma,
+    )
+
+
 @dataclasses.dataclass
 class SR3DResult:
     recon_2x: np.ndarray  # (2sx, 2sy, S, 4) super-resolved at 2x
@@ -90,9 +103,54 @@ class SR3DResult:
 
 def load_hybrid(data_address: str):
     """Load master.mat's hybrid_raw nested list + b-values
-    (superresDWI.py:40-48)."""
+    (superresDWI.py:40-48), with first-contact schema validation: missing
+    variables, a non-4x4 cell, or inconsistent per-(b, TE) volume shapes
+    raise precise messages naming the file and the offending entry rather
+    than failing deep inside the fit."""
     data = load_mat(data_address)
-    return data["hybrid_raw"], np.asarray(data["b"]).reshape(-1)
+    for var in ("hybrid_raw", "b"):
+        if var not in data:
+            raise ValueError(
+                f"{data_address}: missing variable {var!r} "
+                f"(master.mat needs 'hybrid_raw' — a 4x4 cell of per-(b, TE)"
+                f" acquisition stacks, superresDWI.py:45 — and 'b', the "
+                f"b-value row); file contains {sorted(data)}"
+            )
+    hybrid = data["hybrid_raw"]
+    try:
+        n_b, n_te = len(hybrid), len(hybrid[0])
+    except (TypeError, IndexError) as e:
+        raise ValueError(
+            f"{data_address}: 'hybrid_raw' is not a cell array "
+            f"({type(hybrid).__name__}): {e}"
+        ) from e
+    if n_b != 4 or n_te != 4:
+        raise ValueError(
+            f"{data_address}: 'hybrid_raw' cell is {n_b}x{n_te}, expected "
+            "4 b-values x 4 TEs (superresHybrid.py:44-55)"
+        )
+    spatial = None
+    for b in range(4):
+        for te in range(4):
+            arr = np.asarray(hybrid[b][te])
+            if arr.ndim not in (3, 4):
+                raise ValueError(
+                    f"{data_address}: hybrid_raw[{b}][{te}] has shape "
+                    f"{arr.shape}; expected (X, Y, S) or (X, Y, S, n_acq)"
+                )
+            if spatial is None:
+                spatial = arr.shape[:3]
+            elif arr.shape[:3] != spatial:
+                raise ValueError(
+                    f"{data_address}: hybrid_raw[{b}][{te}] spatial shape "
+                    f"{arr.shape[:3]} != {spatial} of hybrid_raw[0][0]"
+                )
+    bvals = np.asarray(data["b"], dtype=np.float64).reshape(-1)
+    if bvals.size != 4:
+        raise ValueError(
+            f"{data_address}: 'b' has {bvals.size} entries, expected 4"
+        )
+    return hybrid, bvals
 
 
 def normalize_hybrid(hybrid_raw) -> tuple[list, np.ndarray]:
@@ -133,7 +191,10 @@ def run_patient(
     num_comb = lr_acqs.shape[-1]
 
     dim = lr_mean.ndim  # 4
+    if cfg.inr_model not in ("siren", "grid", "wire"):
+        raise ValueError(f"unknown inr_model {cfg.inr_model!r}")
     use_grid = cfg.inr_model == "grid"
+    use_wire = cfg.inr_model == "wire"
     key = jax.random.key(seed)
     kB, kI, kP = jax.random.split(key, 3)
     B = fourier_matrix(kB, cfg.mapping_size, dim, scale=cfg.ff_scale)
@@ -141,7 +202,8 @@ def run_patient(
     lr_coords = mgrid(lr_mean.shape)
     # the INR's input stream: FF-encoded coords for SIREN (reference), raw
     # coords for the dense-grid model (its multires grids ARE the encoding)
-    ff = lr_coords if use_grid else fourier_encode(lr_coords, B)
+    # and for WIRE (the Gabor layer is its own frequency lift)
+    ff = fourier_encode(lr_coords, B) if cfg.inr_model == "siren" else lr_coords
     mean_target = jnp.asarray(lr_mean.reshape(-1, 1))
     acq_pixels = jnp.moveaxis(
         lr_acqs.reshape(-1, num_comb), -1, 0
@@ -162,19 +224,44 @@ def run_patient(
     pn_encode = None
     if use_grid:
         from mri_super_resolution_tpu.models.grid_inr import (
-            make_tensor_value_and_grad,
+            build_z_aux,
+            make_zbucket_value_and_grad,
+            pad_target_z,
+            z_bucket_for,
         )
 
         inr = _grid_model(cfg)
         inr_params = inr.init(kI, ff[:8])
         # mean-fit epochs ride the separable tensor-product path (the fit
-        # grid IS mgrid(lr_shape)); the PN branch keeps the gather apply —
-        # perturbed coords are no longer a tensor grid. Both callables are
-        # identity-stable (cached by value) — they ride fit_alternating_pn's
-        # static args, so fresh closures would recompile every patient.
+        # grid IS mgrid(lr_shape)) with the z axis padded to a power-of-two
+        # BUCKET: the heavy scanned program is keyed on (nx, ny, z_bucket),
+        # not the patient's slice count, so a cohort with heterogeneous S
+        # shares one executable (grid_inr.py "z-bucketed fit path"). The PN
+        # branch keeps the gather apply — perturbed coords are no longer a
+        # tensor grid. All callables are identity-stable (cached by value).
         inr_apply = inr.apply
         pn_encode = _identity
-        inr_vag = make_tensor_value_and_grad(inr, tuple(lr_mean.shape))
+        lr_shape = tuple(int(s) for s in lr_mean.shape)
+        z_bucket = z_bucket_for(lr_shape[2])
+        inr_vag = make_zbucket_value_and_grad(
+            inr, lr_shape[0], lr_shape[1], z_bucket, lr_shape[3]
+        )
+        padded_ff = build_z_aux(inr, lr_shape[2], z_bucket)  # rides coords slot
+        padded_target = pad_target_z(mean_target, lr_shape, z_bucket)
+    elif use_wire:
+        inr = _wire_model(cfg)
+        inr_params = inr.init(kI, ff[:8])
+        pn_encode = _identity  # PN output is raw coords for the Gabor stack
+        if on_tpu:
+            from mri_super_resolution_tpu.ops.pallas.wire_kernel import (
+                make_wire_fused_apply,
+                make_wire_value_and_grad,
+            )
+
+            inr_apply = make_wire_fused_apply(inr)
+            inr_vag = make_wire_value_and_grad(inr)
+        else:
+            inr_apply = inr.apply
     else:
         inr = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
         inr_params = inr.init(kI, ff[:8])
@@ -196,29 +283,67 @@ def run_patient(
 
     # inr_restart_every > 0: periodic Adam-moment restarts (fit/optim.py) —
     # measured faster time-to-PSNR AND higher final plateau than flat Adam
-    inr_lr = cfg.grid_lr if use_grid else cfg.inr_lr
+    inr_lr = (cfg.grid_lr if use_grid
+              else cfg.wire_lr if use_wire else cfg.inr_lr)
     inr_tx = (restart_adam(inr_lr, cfg.inr_restart_every)
               if cfg.inr_restart_every else cached_adam(inr_lr))
     t_setup = time.perf_counter()
-    res = fit_alternating_pn(
-        inr_apply,
-        pn.apply,
-        inr_tx,
-        cached_adam(cfg.pn_lr),
-        inr_params,
-        pn_params,
-        ff,
-        mean_target,
-        acq_pixels,
-        B,
-        num_epochs=cfg.number_of_epochs,
-        pn_epochs=cfg.perturbation_epochs,
-        pn_eps=cfg.pn_eps,
-        inr_value_and_grad=inr_vag,
-        padded_ff=padded_ff,
-        padded_target=padded_target,
-        pn_encode=pn_encode,
-    )
+    if use_grid:
+        # two programs: the z-bucketed mean fit (one executable per slice
+        # BUCKET — the 15-30 s compile no longer recurs per novel slice
+        # count) + the small PN alternation tail at the correct absolute
+        # epoch parity, continuing the same optimizer state
+        from mri_super_resolution_tpu.fit.engine import (
+            AlternatingResult,
+            fit_simple,
+        )
+
+        mean_steps = cfg.number_of_epochs - cfg.perturbation_epochs
+        res1 = fit_simple(
+            inr_apply, inr_tx, inr_params, padded_ff, padded_target,
+            mean_steps, value_and_grad_fn=inr_vag,
+        )
+        if cfg.perturbation_epochs:
+            res2 = fit_alternating_pn(
+                inr_apply, pn.apply, inr_tx, cached_adam(cfg.pn_lr),
+                res1.params, pn_params, ff, mean_target, acq_pixels, B,
+                num_epochs=cfg.perturbation_epochs,
+                pn_epochs=cfg.perturbation_epochs,
+                pn_eps=cfg.pn_eps,
+                inr_value_and_grad=inr_vag,
+                padded_ff=padded_ff,
+                padded_target=padded_target,
+                inr_opt_state=res1.opt_state,
+                pn_encode=pn_encode,
+                phase2_start=mean_steps,
+            )
+            res = AlternatingResult(
+                res2.inr_params, res2.pn_params,
+                jnp.concatenate([res1.losses, res2.losses]),
+                res2.inr_opt_state, res2.pn_opt_state,
+            )
+        else:
+            res = AlternatingResult(res1.params, pn_params, res1.losses)
+    else:
+        res = fit_alternating_pn(
+            inr_apply,
+            pn.apply,
+            inr_tx,
+            cached_adam(cfg.pn_lr),
+            inr_params,
+            pn_params,
+            ff,
+            mean_target,
+            acq_pixels,
+            B,
+            num_epochs=cfg.number_of_epochs,
+            pn_epochs=cfg.perturbation_epochs,
+            pn_eps=cfg.pn_eps,
+            inr_value_and_grad=inr_vag,
+            padded_ff=padded_ff,
+            padded_target=padded_target,
+            pn_encode=pn_encode,
+        )
 
     # fence the scanned fit (device_get: block_until_ready is unreliable on
     # the tunnelled backend — see utils/profiling.py) before the fit mark
@@ -241,11 +366,14 @@ def run_patient(
             infer_tensor_grid(inr, res.inr_params, hr_shape, clamp_min=0.0)
         ).reshape(hr_shape)
     else:
+        infer_B = None if use_wire else B
         recon = infer_dense_grid(
-            inr_apply, res.inr_params, test_shape, clamp_min=0.0, fourier_B=B
+            inr_apply, res.inr_params, test_shape, clamp_min=0.0,
+            fourier_B=infer_B,
         ).reshape(test_shape)
         sr_hr = infer_dense_grid(
-            inr_apply, res.inr_params, hr_shape, clamp_min=0.0, fourier_B=B
+            inr_apply, res.inr_params, hr_shape, clamp_min=0.0,
+            fourier_B=infer_B,
         ).reshape(hr_shape)
     t_infer = time.perf_counter()
 
@@ -374,8 +502,9 @@ def coronal_recon(
         rec = infer_tensor_grid(_grid_model(cfg), result.inr_params,
                                 coronal_shape)
     else:
+        B = None if cfg.inr_model == "wire" else jnp.asarray(result.B)
         rec = infer_dense_grid(inr_apply, result.inr_params, coronal_shape,
-                               fourier_B=jnp.asarray(result.B))
+                               fourier_B=B)
     return np.asarray(rec).reshape(coronal_shape)
 
 
@@ -448,6 +577,11 @@ def run(
                 export_B = None
                 desc = (f"sr3d pat{pt_id}: grid_inr L{cfg.grid_levels}"
                         f" R{cfg.grid_base_resolution} h{cfg.grid_hidden}")
+            elif cfg.inr_model == "wire":
+                inr = _wire_model(cfg)
+                export_B = None
+                desc = (f"sr3d pat{pt_id}: wire {cfg.wire_hidden}x"
+                        f"{cfg.wire_layers} w{cfg.wire_omega} s{cfg.wire_sigma}")
             else:
                 inr = Siren(hidden_features=cfg.hidden_dim,
                             hidden_layers=cfg.num_layers)

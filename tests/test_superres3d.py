@@ -234,3 +234,38 @@ class TestRestartOption:
         flat = superres3d.run_patient(hybrid, bvalues, cfg, seed=0, pt_id=7)
         assert not np.allclose(
             np.asarray(result.recon_2x), np.asarray(flat.recon_2x))
+
+
+class TestWireModelOption:
+    def test_run_patient_wire(self, tiny_setup):
+        """inr_model='wire' routes the 3-D pipeline through the paired-real
+        Gabor INR on raw 4-D coords (identity pn_encode, no Fourier
+        mapping); inference + coronal use the no-encode dense-grid path."""
+        import dataclasses
+
+        hybrid, bvalues, cfg = tiny_setup
+        cfg_w = dataclasses.replace(
+            cfg, inr_model="wire", number_of_epochs=250, wire_hidden=32,
+            wire_layers=1)
+        result = superres3d.run_patient(hybrid, bvalues, cfg_w, seed=0, pt_id=7)
+        sx = cfg.roi_end - cfg.roi_start
+        assert result.recon_2x.shape == (2 * sx, 2 * sx, 3, 4)
+        assert (result.recon_2x >= 0).all()
+        assert np.isfinite(result.recon_2x).all()
+        for row in result.ssim_rows:
+            assert -1.0 <= row[3] <= 1.0 and -1.0 <= row[4] <= 1.0
+        # the fit must learn its LR-mean target
+        from mri_super_resolution_tpu.core.coords import mgrid
+
+        model = superres3d._wire_model(cfg_w)
+        r0, r1 = cfg.roi_start, cfg.roi_end
+        lr_mean = result.mean_img[r0:r1:2, r0:r1:2]
+        lr_fit = np.asarray(
+            model.apply(result.inr_params, mgrid(lr_mean.shape))
+        ).reshape(lr_mean.shape)
+        corr = np.corrcoef(lr_fit.ravel(), lr_mean.ravel())[0, 1]
+        assert corr > 0.8, corr
+        cor = superres3d.coronal_recon(result, model.apply, cfg_w,
+                                       transverse_length=8)
+        assert cor.shape == (2 * sx, 2 * sx, 8, 1)
+        assert np.isfinite(cor).all()
