@@ -240,6 +240,112 @@ def measure_rams(steps: int) -> float:
     return B * steps / (time.perf_counter() - t0)
 
 
+def measure_rams_inference(batch: int = 25, side: int = 128) -> float:
+    """MISR inference: the reference's 25-draw ensemble
+    (multi-image-super-resolution/master.py:45-52) as ONE batched call —
+    seconds per case (25 draws of a full 128x128x9 stack -> 384x384)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mri_super_resolution_tpu.config import RAMSConfig
+    from mri_super_resolution_tpu.pipelines.misr import build_rams
+    from mri_super_resolution_tpu.utils import time_jitted
+
+    model = build_rams(RAMSConfig())
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(7000, 8000, (batch, side, side, 9)).astype(np.float32))
+    params = model.init(jax.random.key(0), x[:1])
+    fwd = jax.jit(lambda v: model.apply(params, v))
+    return time_jitted(lambda: fwd(x), repeats=3, warmup=1)
+
+
+def measure_serving(quick: bool = False) -> list:
+    """Serving-artifact latency lines (serve.py): export + load + batched
+    eval for the three artifact kinds — the INR volume artifact
+    (superres_dwi --export_artifact form), the RAMS 25-draw case, and the
+    PIA tissue fitter. Eval latency is the steady-state jitted call on
+    device; export/load are one-off host costs."""
+    import tempfile
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mri_super_resolution_tpu import serve
+    from mri_super_resolution_tpu.config import RAMSConfig
+    from mri_super_resolution_tpu.core.coords import fourier_encode, fourier_matrix
+    from mri_super_resolution_tpu.models import Siren
+    from mri_super_resolution_tpu.models.pia import PIA
+    from mri_super_resolution_tpu.pipelines.misr import build_rams
+    from mri_super_resolution_tpu.utils import time_jitted
+
+    rows = []
+    tmp = tempfile.mkdtemp(prefix="bench_serve_")
+    key = jax.random.key(0)
+    rng = np.random.default_rng(0)
+
+    def bench_one(name, export, make_batch, batch_desc):
+        d = os.path.join(tmp, name)
+        t0 = _time.perf_counter()
+        export(d)
+        export_s = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        served = serve.load(d)
+        load_s = _time.perf_counter() - t0
+        x = make_batch()
+        sec = time_jitted(lambda: served(x), repeats=3, warmup=1)
+        rows.append({
+            "metric": f"serving_{name}_eval_ms",
+            "value": round(sec * 1e3, 2),
+            "unit": "ms",
+            "batch": batch_desc,
+            "export_s": round(export_s, 2),
+            "load_s": round(load_s, 3),
+        })
+
+    # INR: flagship artifact form (raw 4-D coords -> intensity, FF baked in)
+    inr = Siren(hidden_features=512, hidden_layers=3)
+    B = fourier_matrix(key, 128, 4, scale=0.5)
+    inr_params = inr.init(key, fourier_encode(jnp.zeros((8, 4)), B))
+    n = 65536 if quick else 262144
+    coords = jnp.asarray(rng.uniform(-1, 1, (n, 4)).astype(np.float32))
+    bench_one(
+        "inr",
+        lambda d: serve.export_inr(inr.apply, inr_params, 4, d, fourier_B=B),
+        lambda: coords,
+        f"{n} coords",
+    )
+
+    # RAMS: the 25-draw case ensemble as one batch
+    side = 32 if quick else 128
+    draws = 4 if quick else 25
+    rams = build_rams(RAMSConfig())
+    xr = jnp.asarray(rng.uniform(7000, 8000, (draws, side, side, 9)).astype(np.float32))
+    rams_params = rams.init(jax.random.key(1), xr[:1])
+    bench_one(
+        "rams",
+        lambda d: serve.export_rams(rams.apply, rams_params, d,
+                                    height=side, width=side),
+        lambda: xr,
+        f"{draws}x{side}x{side}x9",
+    )
+
+    # PIA: one hybrid slice of signal vectors (superresHybrid operating point)
+    pia = PIA()
+    sig = jnp.asarray(rng.uniform(0, 1000, (14400, 16)).astype(np.float32))
+    pia_params = pia.init(jax.random.key(2), sig[:8])
+    bench_one(
+        "pia",
+        lambda d: serve.export_pia(
+            lambda p, x: pia.apply(p, x, method=pia.encode), pia_params, d),
+        lambda: sig,
+        "14400 signals (one 120x120 slice)",
+    )
+    return rows
+
+
 def measure_torch(steps: int) -> float:
     """Reference PyTorch workload (superresDWI.py:105-145 semantics) on CPU.
 
@@ -360,6 +466,21 @@ def main():
                 }
             )
         )
+        sec_case = measure_rams_inference(4 if args.quick else 25,
+                                          32 if args.quick else 128)
+        print(
+            json.dumps(
+                {
+                    "metric": "rams_infer_25draw_s_per_case",
+                    "value": round(sec_case, 3),
+                    "unit": "s/case",
+                    "note": "one batched call of the reference's 25-draw "
+                            "ensemble (master.py:45-52), full 128x128 slice",
+                }
+            )
+        )
+        for row in measure_serving(args.quick):
+            print(json.dumps(row))
         rams_pps = measure_rams(10 if args.quick else 50)
         # roofline context (VERDICT r2 #1): analytic conv FLOPs at the
         # reference config ~384 G per train step; the architecture's
