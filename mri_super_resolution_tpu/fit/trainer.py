@@ -118,8 +118,18 @@ class Trainer:
                 return jnp.sum(per * w) / jnp.sum(w), sr
 
             (loss, sr), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
-            updates, opt_state = self.tx.update(grads, opt_state)
-            params = optax.apply_updates(params, updates)
+            updates, new_opt = self.tx.update(grads, opt_state)
+            new_params = optax.apply_updates(params, updates)
+            # in-graph failure guard: a NaN/inf batch must not poison the
+            # params (the INR side's analog is the restart-on-collapse guard,
+            # INR_ERD.py:211-217). Deciding here (not in host Python) keeps
+            # the old state reachable even though the input buffers are
+            # DONATED below — the fit loop only logs the skip.
+            ok = jnp.isfinite(loss)
+            keep = lambda old, new: jax.tree.map(
+                lambda a, b: jnp.where(ok, b, a), old, new)
+            params = keep(params, new_params)
+            opt_state = keep(opt_state, new_opt)
             per_psnr = self.metric_fn(hr_batch, sr, mask_batch, hr, reduce=False)
             psnr = jnp.sum(per_psnr * w) / jnp.sum(w)
             return params, opt_state, loss, psnr
@@ -134,7 +144,11 @@ class Trainer:
 
         if mesh is None:
             self._n_shard = 1
-            self._train_step = jax.jit(train_fn)
+            # donate params/opt_state: the updated trees alias the inputs'
+            # HBM instead of allocating fresh buffers every step (safe —
+            # every caller reassigns from the return value, and the NaN
+            # guard is in-graph)
+            self._train_step = jax.jit(train_fn, donate_argnums=(0, 1))
             self._test_step = jax.jit(test_fn)
         else:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -147,6 +161,7 @@ class Trainer:
                 train_fn,
                 in_shardings=((repl, repl) + (bsh,) * 4),
                 out_shardings=(repl, repl, repl, repl),
+                donate_argnums=(0, 1),
             )
             self._test_step = jax.jit(
                 test_fn,
@@ -256,14 +271,13 @@ class Trainer:
                     state.params, state.opt_state, lr_b, hr_b, m_b,
                     jnp.asarray(w)
                 )
+                # always adopt the returned trees (the inputs were donated);
+                # on a non-finite batch the step itself kept the old values
+                state.params, state.opt_state = new_params, new_opt
                 loss_f = float(loss)
                 if not np.isfinite(loss_f):
-                    # failure detection: a NaN/inf batch must not poison the
-                    # params (the INR side's analog is the restart-on-collapse
-                    # guard, INR_ERD.py:211-217); skip the update and continue
                     print(f"step {state.step}: non-finite loss, batch skipped")
                     continue
-                state.params, state.opt_state = new_params, new_opt
                 state.step += 1
                 train_loss.append(loss_f)
                 train_psnr.append(float(psnr))

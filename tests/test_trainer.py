@@ -116,12 +116,15 @@ class TestDataParallelTrainer:
         # (loss, psnr) must match tightly — proves the sharded program
         # computes the same math with the padding weighted out
         w = jnp.ones(len(x), jnp.float32)
+        # _train_step DONATES its params/opt_state buffers — pass copies so
+        # st1/st8 stay usable for the full fits below
+        copy = lambda t: jax.tree.map(jnp.copy, t)
         p1, o1, loss1, psnr1 = tr1._train_step(
-            st1.params, st1.opt_state, jnp.asarray(x), jnp.asarray(y),
-            jnp.asarray(m), w)
+            copy(st1.params), copy(st1.opt_state), jnp.asarray(x),
+            jnp.asarray(y), jnp.asarray(m), w)
         p8, o8, loss8, psnr8 = tr8._train_step(
-            st8.params, st8.opt_state, jnp.asarray(x), jnp.asarray(y),
-            jnp.asarray(m), w)
+            copy(st8.params), copy(st8.opt_state), jnp.asarray(x),
+            jnp.asarray(y), jnp.asarray(m), w)
         np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
         np.testing.assert_allclose(float(psnr1), float(psnr8), rtol=1e-5)
         # params after one Adam step: each coordinate moves at most ~lr, and
