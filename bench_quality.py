@@ -151,6 +151,22 @@ def main():
         optax.adam(5e-3),
     )
 
+    # WIRE on raw 4-D coords (the superres_dwi --inr_model wire arm) via the
+    # fused Gabor kernel — the time-to-PSNR row for the model-family A/B
+    from mri_super_resolution_tpu.models import Wire
+    from mri_super_resolution_tpu.ops.pallas.wire_kernel import (
+        make_wire_fused_apply,
+        make_wire_value_and_grad,
+    )
+
+    wire = Wire(hidden_features=256, hidden_layers=2)
+    wp = wire.init(key, coords[:8])
+    run_model(
+        "wire", make_wire_fused_apply(wire) if on_tpu else wire.apply, wp,
+        optax.adam(5e-3),
+        vag=make_wire_value_and_grad(wire) if on_tpu else None,
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -35,6 +35,8 @@ def main():
     p.add_argument("--patients", type=int, default=3)
     p.add_argument("--epochs", type=int, default=2500)
     p.add_argument("--nlls_iters", type=int, default=40)
+    p.add_argument("--arms", nargs="*", default=None,
+                   help="subset of arms to run (default: all)")
     p.add_argument("--out", default="results/round4_hybrid/e2e.json")
     args = p.parse_args()
 
@@ -68,7 +70,15 @@ def main():
                                      nlls_iters=args.nlls_iters,
                                      inr_model="grid",
                                      inr_restart_every=250),
+        # the fast preset's schedule (config.PRESETS): grid + restart
+        # stopped at 600 epochs — past the 40 dB knee with margin
+        "grid_fast_600": HybridConfig(number_of_epochs=600,
+                                      nlls_iters=args.nlls_iters,
+                                      inr_model="grid",
+                                      inr_restart_every=250),
     }
+    if args.arms:
+        arms = {k: v for k, v in arms.items() if k in args.arms}
     out = {"platform": jax.devices()[0].platform,
            "device": str(jax.devices()[0]),
            "epochs": args.epochs, "arms": {}}
@@ -97,7 +107,7 @@ def main():
             for k in ("prep_s", "fit_s", "infer_s", "tissue_s", "total_s"):
                 summary[f"warm_{k}_mean"] = round(
                     float(np.mean([r[k] for r in warm])), 3)
-            vps = (warm[0]["lr_voxels_per_te"] * 4 * args.epochs
+            vps = (warm[0]["lr_voxels_per_te"] * 4 * cfg.number_of_epochs
                    / summary["warm_fit_s_mean"])
             summary["warm_fit_voxel_steps_per_sec"] = round(vps)
         out["arms"][arm] = {"patients": rows_out, "summary": summary}
