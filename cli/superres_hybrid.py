@@ -72,10 +72,13 @@ def main(argv=None):
                    help="ROI start on both in-plane axes (superresHybrid.py "
                         "crops 35:95)")
     p.add_argument("--roi_end", type=int, default=95)
-    p.add_argument("--inr_model", choices=("siren", "grid"), default="siren",
-                   help="per-TE INR: the reference's FF-SIREN or the "
+    p.add_argument("--inr_model", choices=("siren", "grid", "grid_shared"),
+                   default="siren",
+                   help="per-TE INR: the reference's FF-SIREN, the "
                    "multiresolution dense-grid model (separable tensor-"
-                   "product fit path; far faster to a given quality)")
+                   "product fit path; far faster to a given quality), or "
+                   "grid_shared — ONE grid over all 4 TEs via a 16-slot "
+                   "(b, TE) embedding (shared anatomy, one fit per patient)")
     p.add_argument("--inr_restart_every", type=int, default=0,
                    help=">0: periodic Adam-moment restarts on the INR fits "
                    "(fit/optim.restart_adam)")

@@ -52,6 +52,12 @@ class HybridConfig:
     # "grid" = the multiresolution dense-grid INR (models/grid_inr.py): all
     # four per-TE fits ride the separable tensor-product path (scatter-free,
     # all-MXU) — same trade as superres3d's --inr_model grid.
+    # "grid_shared" = ONE grid INR across all four TEs: the (b, TE) pair is
+    # a single 16-slot categorical embedding, so the four per-TE volumes
+    # share spatial feature grids (they image the same anatomy — only the
+    # contrast weighting differs) and the whole patient is one fit instead
+    # of four. Beyond-reference change: the reference fits per TE
+    # independently (superresHybrid.py:58-118).
     inr_model: str = "siren"
     # >0: restart_adam(lr, every) on the INR fits (fit/optim.py) — measured
     # faster time-to-PSNR AND higher final plateau than flat Adam on the
@@ -65,7 +71,7 @@ class HybridConfig:
     grid_z_divisor: int = 1  # ROI-cropped grids: z comparable to in-plane
 
 
-def _hybrid_grid_model(cfg: HybridConfig):
+def _hybrid_grid_model(cfg: HybridConfig, num_b: int = 4):
     from mri_super_resolution_tpu.models import GridINR
 
     return GridINR(
@@ -74,6 +80,7 @@ def _hybrid_grid_model(cfg: HybridConfig):
         features_per_level=cfg.grid_features,
         hidden=cfg.grid_hidden,
         z_divisor=cfg.grid_z_divisor,
+        num_b=num_b,
     )
 
 
@@ -132,6 +139,70 @@ def _make_fit_stack(vag, model, tx, num_epochs: int):
     return fit_stack
 
 
+def _fit_shared_grid(normed, maxes, cfg: HybridConfig, seed: int,
+                     t0: float) -> HybridResult:
+    """One grid INR over the full (x, y, z, 16) hybrid: the (b, TE) pair is
+    a 16-slot embedding (b-major), so all four TE volumes share the spatial
+    feature grids and the patient is ONE z-bucketed fit (inr_model
+    'grid_shared'; see HybridConfig)."""
+    import time
+
+    from mri_super_resolution_tpu.models.grid_inr import (
+        build_z_aux,
+        infer_tensor_grid,
+        make_zbucket_value_and_grad,
+        pad_target_z,
+        z_bucket_for,
+    )
+    from mri_super_resolution_tpu.fit.engine import fit_simple
+
+    S = normed[0][0].shape[2]
+    sx = cfg.roi_end_x - cfg.roi_start_x
+    sy = cfg.roi_end_y - cfg.roi_start_y
+    vol16 = np.stack(
+        [np.asarray(normed[b][te], dtype=np.float32)
+         for b in range(4) for te in range(4)], axis=-1)  # (X, Y, S, 16)
+    lr = vol16[cfg.roi_start_x : cfg.roi_end_x : 2,
+               cfg.roi_start_y : cfg.roi_end_y : 2]
+    lr_shape = tuple(int(s) for s in lr.shape)  # (sx', sy', S, 16)
+    target = jnp.asarray(lr.reshape(-1, 1))
+    jax.device_get(target[0])
+    t_prep = time.perf_counter()
+
+    model = _hybrid_grid_model(cfg, num_b=16)
+    key = jax.random.key(seed)
+    params = model.init(key, mgrid(lr_shape)[:8])
+    z_bucket = z_bucket_for(lr_shape[2])
+    vag = make_zbucket_value_and_grad(
+        model, lr_shape[0], lr_shape[1], z_bucket, 16)
+    z_aux = build_z_aux(model, lr_shape[2], z_bucket)
+    target_p = pad_target_z(target, lr_shape, z_bucket)
+    inr_lr = cfg.grid_lr
+    tx = (restart_adam(inr_lr, cfg.inr_restart_every)
+          if cfg.inr_restart_every else cached_adam(inr_lr))
+    res = fit_simple(model.apply, tx, params, z_aux, target_p,
+                     cfg.number_of_epochs, value_and_grad_fn=vag)
+    jax.device_get(res.losses[-1])
+    t_fit = time.perf_counter()
+
+    test_shape = (sx * 2, sy * 2, S, 16)
+    rec = np.asarray(
+        infer_tensor_grid(model, res.params, test_shape, clamp_min=0.0)
+    ).reshape(sx * 2, sy * 2, S, 4, 4)  # b-major slot order -> (b, te)
+    recon_hybrid = rec * maxes[None, None, None]
+    t_infer = time.perf_counter()
+    timings = {
+        "prep_s": t_prep - t0,
+        "fit_s": t_fit - t_prep,
+        "infer_s": t_infer - t_fit,
+        "fit_epochs": cfg.number_of_epochs,
+        "lr_voxels_per_te": int(target.shape[0]) // 4,
+        "inr_model": cfg.inr_model,
+        "platform": jax.devices()[0].platform,
+    }
+    return HybridResult(recon_hybrid.astype(np.float32), maxes, timings)
+
+
 def fit_all_te(hybrid_raw, cfg: HybridConfig, seed: int = 0) -> HybridResult:
     """Fit the four per-TE volumes (vmapped) and assemble the 2x hybrid."""
     import time
@@ -140,6 +211,8 @@ def fit_all_te(hybrid_raw, cfg: HybridConfig, seed: int = 0) -> HybridResult:
 
     t0 = time.perf_counter()
     normed, maxes = normalize_hybrid(hybrid_raw)
+    if cfg.inr_model == "grid_shared":
+        return _fit_shared_grid(normed, maxes, cfg, seed, t0)
     S = normed[0][0].shape[2]
     sx = cfg.roi_end_x - cfg.roi_start_x
     sy = cfg.roi_end_y - cfg.roi_start_y

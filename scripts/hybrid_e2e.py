@@ -76,9 +76,40 @@ def main():
                                       nlls_iters=args.nlls_iters,
                                       inr_model="grid",
                                       inr_restart_every=250),
+        # one shared grid over all 4 TEs (16-slot (b, TE) embedding):
+        # the whole patient is one fit instead of four
+        "grid_shared_restart": HybridConfig(number_of_epochs=args.epochs,
+                                            nlls_iters=args.nlls_iters,
+                                            inr_model="grid_shared",
+                                            inr_restart_every=250),
     }
     if args.arms:
         arms = {k: v for k, v in arms.items() if k in args.arms}
+
+    import jax.numpy as jnp
+
+    from mri_super_resolution_tpu.core.metrics import masked_ssim_protocol
+    from mri_super_resolution_tpu.core.normalize import max_normalize
+    from mri_super_resolution_tpu.pipelines.superres3d import normalize_hybrid
+
+    @jax.jit
+    def recon_quality(recon, hr):
+        """Masked SSIM + PSNR of the de-normalized recon vs the HR ROI over
+        every (slice, b, te) image. recon/hr: (2sx, 2sy, S, 4, 4) with the
+        recon grid == the HR ROI grid (LR was its ::2 decimation)."""
+        r = jnp.moveaxis(recon, (2, 3, 4), (0, 1, 2)).reshape(-1, *recon.shape[:2])
+        h = jnp.moveaxis(hr, (2, 3, 4), (0, 1, 2)).reshape(-1, *hr.shape[:2])
+
+        def one(ri, hi):
+            hn = max_normalize(hi)
+            rn = max_normalize(ri)
+            mse = jnp.mean((rn - hn) ** 2)
+            return (masked_ssim_protocol(hn, rn),
+                    10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-30)))
+
+        s, p = jax.vmap(one)(r, h)
+        return s.mean(), p.mean()
+
     out = {"platform": jax.devices()[0].platform,
            "device": str(jax.devices()[0]),
            "epochs": args.epochs, "arms": {}}
@@ -88,12 +119,22 @@ def main():
             hybrid = mean_over_acquisitions(hybrid_all)
             res = fit_all_te(hybrid, cfg, seed=0)
             S = res.recon_hybrid.shape[2]
+            # HR reference: the unstrided ROI of the de-normalized volumes
+            normed, maxes = normalize_hybrid(hybrid)
+            hr = np.stack(
+                [np.stack([np.asarray(normed[b][te]) * maxes[b, te]
+                           for te in range(4)], -1) for b in range(4)], -2
+            )[cfg.roi_start_x:cfg.roi_end_x, cfg.roi_start_y:cfg.roi_end_y]
+            ssim_m, psnr_m = (float(x) for x in recon_quality(
+                jnp.asarray(res.recon_hybrid), jnp.asarray(hr)))
             t0 = time.perf_counter()
             maps = tissue_maps(res, bv, _slice=S // 2,
                                nlls_iters=cfg.nlls_iters)
             t_tissue = time.perf_counter() - t0
             row = dict(res.timings, pt_id=pt_no, cold=(i == 0),
                        tissue_s=round(t_tissue, 3),
+                       recon_ssim_vs_hr=round(ssim_m, 5),
+                       recon_psnr_vs_hr=round(psnr_m, 3),
                        cancer_frac=round(float(maps.cancer.mean()), 5))
             row["total_s"] = round(
                 row["prep_s"] + row["fit_s"] + row["infer_s"] + t_tissue, 3)
@@ -107,6 +148,9 @@ def main():
             for k in ("prep_s", "fit_s", "infer_s", "tissue_s", "total_s"):
                 summary[f"warm_{k}_mean"] = round(
                     float(np.mean([r[k] for r in warm])), 3)
+            for k in ("recon_ssim_vs_hr", "recon_psnr_vs_hr"):
+                summary[f"{k}_mean"] = round(
+                    float(np.mean([r[k] for r in rows_out])), 4)
             vps = (warm[0]["lr_voxels_per_te"] * 4 * cfg.number_of_epochs
                    / summary["warm_fit_s_mean"])
             summary["warm_fit_voxel_steps_per_sec"] = round(vps)

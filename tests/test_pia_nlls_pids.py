@@ -171,6 +171,40 @@ class TestHybridPipeline:
         assert result.timings["inr_model"] == "grid"
         assert result.timings["fit_s"] > 0
 
+    def test_end_to_end_grid_shared(self, rng):
+        """inr_model='grid_shared': one 16-slot (b, TE) grid INR fits the
+        whole patient; recon unpacks b-major to (..., 4, 4) and must
+        de-normalize with the right (b, te) maxes."""
+        from mri_super_resolution_tpu.data import synthetic
+
+        b0 = np.abs(rng.normal(1.0, 0.2, (20, 20, 2))).astype(np.float32)
+        hybrid_all = synthetic.hybrid_from_b0(b0, acq_counts=(1, 2, 2, 2), seed=0)
+        hybrid = mean_over_acquisitions(hybrid_all)
+        cfg = HybridConfig(
+            number_of_epochs=60, roi_start_x=2, roi_end_x=18,
+            roi_start_y=2, roi_end_y=18, inr_model="grid_shared",
+            inr_restart_every=20, grid_levels=2, grid_base_resolution=4,
+            grid_hidden=16,
+        )
+        result = fit_all_te(hybrid, cfg, seed=0)
+        assert result.recon_hybrid.shape == (32, 32, 2, 4, 4)
+        assert (result.recon_hybrid >= 0).all()
+        assert np.isfinite(result.recon_hybrid).all()
+        assert result.timings["inr_model"] == "grid_shared"
+        # de-normalization sanity: each (b, te) channel's scale tracks its
+        # max (recon of channel (b, te) should be O(maxes[b, te]))
+        from mri_super_resolution_tpu.pipelines.superres3d import (
+            normalize_hybrid,
+        )
+
+        _, maxes = normalize_hybrid(hybrid)
+        ch_max = result.recon_hybrid.reshape(-1, 4, 4).max(0)
+        assert (ch_max <= maxes * 1.5 + 1e-6).all()
+
+        maps = tissue_maps(result, np.asarray([0.0, 150.0, 1000.0, 1500.0]),
+                           _slice=1, nlls_iters=5)
+        assert maps.D.shape == (32, 32, 3)
+
     def test_tissue_maps_pia_fitter(self, rng):
         """make_pia_fitter drops into tissue_maps in place of the NLLS."""
         from mri_super_resolution_tpu.pipelines.hybrid import (
