@@ -32,7 +32,14 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--patients", type=int, default=10)
-    ap.add_argument("--acq_per_half", type=int, default=3)
+    ap.add_argument("--acq_per_half", type=int, default=3,
+                    help="acquisitions per b given to the arms (input half)")
+    ap.add_argument("--acq_heldout", type=int, default=None,
+                    help="held-out acquisitions per b forming the GT mean "
+                    "(default: same as input). A noisy GT (few held-out "
+                    "acquisitions) biases masked SSIM toward arms whose "
+                    "local variance matches the GT noise — i.e. AGAINST "
+                    "smooth reconstructions; use e.g. 9 for a low-noise GT")
     ap.add_argument("--wire", action="store_true",
                     help="add a WIRE arm (superres_dwi --inr_model wire) to "
                          "the same paired protocol")
@@ -57,6 +64,7 @@ def main():
 
     b_values = (0.0, 150.0, 1000.0, 1500.0)
     n_half = args.acq_per_half
+    n_held = args.acq_heldout or n_half
     rows = available_patients()[: args.patients]
     data_dir = os.environ.get("MRI_SR_DATA_DIR", "/root/reference/anon_data")
 
@@ -89,9 +97,10 @@ def main():
         b0 = np.asarray(load_mat(
             os.path.join(data_dir, f"pat{pt_no}_mean_b0.mat"),
             "data_mean_b0", prefer_native=True), dtype=np.float32)
+        n_tot = n_half + n_held
         full = synthetic.hybrid_from_b0(
-            b0, b_values=b_values, acq_counts=(1, 2 * n_half, 2 * n_half,
-                                               2 * n_half), seed=int(pt_no))
+            b0, b_values=b_values, acq_counts=(1, n_tot, n_tot, n_tot),
+            seed=int(pt_no))
         inp = [[None] * 4 for _ in range(4)]
         held = [[None] * 4 for _ in range(4)]
         for b in range(4):
@@ -164,9 +173,9 @@ def main():
         }
 
     out = {
-        "protocol": "split-acquisition masked SSIM (held-out-half GT), "
+        "protocol": "split-acquisition masked SSIM (held-out GT), "
                     f"{len(rows)} patients x slices x b1..b3, "
-                    f"{n_half}+{n_half} acquisitions per b",
+                    f"input {n_half} + held-out {n_held} acquisitions per b",
         "platform": jax.devices()[0].platform,
         "arms": {a: arm_summary(per_arm[a]["rows"], per_arm[a]["timings"])
                  for a in arms},

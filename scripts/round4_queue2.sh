@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-4 TPU queue, part 2 (run after round4_queue.sh completes).
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/round4_queue
+
+log() { echo "$(date -u +%H:%M:%S) $*" >> /tmp/round4_queue/queue.log; }
+
+run_job() {
+  local name="$1" artifact="$2"; shift 2
+  if [ -e "$artifact" ]; then
+    log "$name: artifact exists, skip"
+    return
+  fi
+  log "$name: start"
+  timeout 3600 "$@" > "/tmp/round4_queue/$name.log" 2>&1
+  log "$name: done ($?)"
+}
+
+# low-noise-GT variant of the preset cohort A/B: the symmetric 3+3 split's
+# GT is noisy enough that masked SSIM's variance term biases toward the
+# (noisier) spline arm; 9 held-out acquisitions cut GT noise 1.7x
+run_job cohort_ab_cleangt results/round4_presets/cohort_ab_cleangt.json \
+  python scripts/preset_cohort_ab.py --patients 10 --wire --acq_heldout 9 \
+    --out results/round4_presets/cohort_ab_cleangt.json
+# hybrid grid_shared arm: timing + recon-quality vs the per-TE arms
+run_job hybrid_shared results/round4_hybrid/e2e_shared.json \
+  python scripts/hybrid_e2e.py --patients 3 \
+    --arms grid_shared_restart grid_restart \
+    --out results/round4_hybrid/e2e_shared.json
+log "queue2 complete"
