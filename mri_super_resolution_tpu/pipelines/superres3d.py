@@ -222,6 +222,7 @@ def run_patient(
     inr_vag = None
     padded_ff = padded_target = None
     pn_encode = None
+    infer_apply = None  # inference-only apply override (wire fused forward)
     if use_grid:
         from mri_super_resolution_tpu.models.grid_inr import (
             build_z_aux,
@@ -252,16 +253,20 @@ def run_patient(
         inr = _wire_model(cfg)
         inr_params = inr.init(kI, ff[:8])
         pn_encode = _identity  # PN output is raw coords for the Gabor stack
+        # the engine's PN phase differentiates THROUGH inr_apply wrt its
+        # input (engine.py pn_update); the fused Gabor forward has no VJP
+        # (unlike the SIREN kernel's), so the engine gets the XLA apply and
+        # only the mean-fit steps ride the one-pass kernel via inr_vag.
+        # Inference uses the fused forward (no gradients there).
+        inr_apply = inr.apply
         if on_tpu:
             from mri_super_resolution_tpu.ops.pallas.wire_kernel import (
                 make_wire_fused_apply,
                 make_wire_value_and_grad,
             )
 
-            inr_apply = make_wire_fused_apply(inr)
+            infer_apply = make_wire_fused_apply(inr)
             inr_vag = make_wire_value_and_grad(inr)
-        else:
-            inr_apply = inr.apply
     else:
         inr = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
         inr_params = inr.init(kI, ff[:8])
@@ -367,12 +372,13 @@ def run_patient(
         ).reshape(hr_shape)
     else:
         infer_B = None if use_wire else B
+        infer_fn = infer_apply or inr_apply
         recon = infer_dense_grid(
-            inr_apply, res.inr_params, test_shape, clamp_min=0.0,
+            infer_fn, res.inr_params, test_shape, clamp_min=0.0,
             fourier_B=infer_B,
         ).reshape(test_shape)
         sr_hr = infer_dense_grid(
-            inr_apply, res.inr_params, hr_shape, clamp_min=0.0,
+            infer_fn, res.inr_params, hr_shape, clamp_min=0.0,
             fourier_B=infer_B,
         ).reshape(hr_shape)
     t_infer = time.perf_counter()

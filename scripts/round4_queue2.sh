@@ -17,6 +17,11 @@ run_job() {
   log "$name: done ($?)"
 }
 
+# re-run of the symmetric-split cohort A/B (first attempt crashed on the
+# wire arm: PN phase differentiated through the VJP-less fused forward;
+# fixed in superres3d to use the XLA apply for the engine)
+run_job cohort_ab results/round4_presets/cohort_ab.json \
+  python scripts/preset_cohort_ab.py --patients 10 --wire
 # low-noise-GT variant of the preset cohort A/B: the symmetric 3+3 split's
 # GT is noisy enough that masked SSIM's variance term biases toward the
 # (noisier) spline arm; 9 held-out acquisitions cut GT noise 1.7x
