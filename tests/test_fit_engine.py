@@ -409,3 +409,70 @@ class TestRestartAdam:
             np.asarray(cont.losses),
             np.concatenate([np.asarray(r1.losses), np.asarray(r2.losses)]),
             rtol=1e-4)
+
+
+class TestSplitScheduleParity:
+    def test_bucketed_split_matches_single_program(self):
+        """The round-4 grid path (z-bucketed fit_simple mean phase + a
+        separate PN tail at phase2_start) must produce EXACTLY the same
+        params as the original single fit_alternating_pn program with the
+        unbucketed tensor vag — same update sequence, same epoch parity."""
+        import optax
+
+        from mri_super_resolution_tpu.fit.engine import fit_simple
+        from mri_super_resolution_tpu.models import GridINR, PerturbNet
+        from mri_super_resolution_tpu.models.grid_inr import (
+            build_z_aux, make_tensor_value_and_grad,
+            make_zbucket_value_and_grad, pad_target_z, z_bucket_for)
+
+        shape = (6, 6, 3, 4)
+        rng = np.random.default_rng(0)
+        coords = mgrid(shape)
+        target = jnp.asarray(rng.uniform(0.2, 0.8,
+                                         (int(np.prod(shape)), 1)).astype(np.float32))
+        acq = jnp.asarray(
+            rng.uniform(0.2, 0.8, (2, int(np.prod(shape)), 1)).astype(np.float32))
+        inr = GridINR(num_levels=2, base_resolution=4, hidden=16, z_divisor=1)
+        pn = PerturbNet(hidden_features=8, dimension=4)
+        inr_p = inr.init(jax.random.key(0), coords[:8])
+        pn_p = pn.init(jax.random.key(1), coords[:8], 0, 0.0)
+        itx, ptx = optax.adam(5e-3), optax.adam(1e-6)
+        B = jnp.zeros((0,))
+        ident = lambda x: x
+        num_epochs, pn_epochs = 24, 6
+        cp = lambda t: jax.tree.map(jnp.copy, t)
+
+        # single program, unbucketed tensor vag (the pre-round-4 path)
+        vag_ref = make_tensor_value_and_grad(inr, shape)
+        ref = fit_alternating_pn(
+            inr.apply, pn.apply, itx, ptx, cp(inr_p), cp(pn_p),
+            coords, target, acq, B,
+            num_epochs=num_epochs, pn_epochs=pn_epochs,
+            inr_value_and_grad=vag_ref, pn_encode=ident,
+        )
+
+        # split: z-bucketed mean phase + tail at the true epoch offset
+        zb = z_bucket_for(shape[2])
+        vag_z = make_zbucket_value_and_grad(inr, shape[0], shape[1], zb,
+                                            shape[3])
+        z_aux = build_z_aux(inr, shape[2], zb)
+        t_pad = pad_target_z(target, shape, zb)
+        mean_steps = num_epochs - pn_epochs
+        res1 = fit_simple(inr.apply, itx, cp(inr_p), z_aux, t_pad,
+                          mean_steps, value_and_grad_fn=vag_z)
+        res2 = fit_alternating_pn(
+            inr.apply, pn.apply, itx, ptx, res1.params, cp(pn_p),
+            coords, target, acq, B,
+            num_epochs=pn_epochs, pn_epochs=pn_epochs,
+            inr_value_and_grad=vag_z, padded_ff=z_aux, padded_target=t_pad,
+            inr_opt_state=res1.opt_state, pn_encode=ident,
+            phase2_start=mean_steps,
+        )
+        for a, b in zip(jax.tree.leaves(ref.inr_params),
+                        jax.tree.leaves(res2.inr_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
+        for a, b in zip(jax.tree.leaves(ref.pn_params),
+                        jax.tree.leaves(res2.pn_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
