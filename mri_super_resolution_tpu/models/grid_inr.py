@@ -26,6 +26,7 @@ import functools
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -261,16 +262,29 @@ def z_bucket_for(nz: int) -> int:
 def build_z_aux(model: "GridINR", nz: int, z_bucket: int | None = None) -> Array:
     """(z_bucket, sum(Rz_l) + 1) runtime aux: per-level z-interpolation
     matrices for ``nz`` true slices padded with zero rows, then a validity
-    mask column (1 for the first ``nz`` rows)."""
+    mask column (1 for the first ``nz`` rows).
+
+    Built HOST-side (numpy) in one device_put: the eager jnp version
+    dispatched ~10 tiny per-(nz, Rz) programs per novel slice count — each a
+    1-2 s compile through a tunnelled backend — which defeated the point of
+    bucketing (measured 15-17 s of 'setup' per novel S)."""
+    import numpy as _np
+
     if z_bucket is None:
         z_bucket = z_bucket_for(nz)
     assert z_bucket >= nz
     cols = []
     for Rz in _level_z_res(model):
-        Az = _axis_weights(nz, Rz)
-        cols.append(jnp.pad(Az, ((0, z_bucket - nz), (0, 0))))
-    mask = jnp.zeros((z_bucket, 1)).at[:nz, 0].set(1.0)
-    return jnp.concatenate(cols + [mask], axis=1)
+        pos = _np.linspace(0.0, 1.0, nz, dtype=_np.float32) * (Rz - 1)
+        lo = _np.clip(_np.floor(pos).astype(_np.int32), 0, Rz - 2)
+        frac = (pos - lo).astype(_np.float32)
+        Az = _np.zeros((z_bucket, Rz), _np.float32)
+        Az[_np.arange(nz), lo] = 1.0 - frac
+        Az[_np.arange(nz), lo + 1] += frac
+        cols.append(Az)
+    mask = _np.zeros((z_bucket, 1), _np.float32)
+    mask[:nz, 0] = 1.0
+    return jnp.asarray(_np.concatenate(cols + [mask], axis=1))
 
 
 @functools.lru_cache(maxsize=64)
@@ -286,17 +300,11 @@ def make_zbucket_value_and_grad(model: "GridINR", nx: int, ny: int,
     Signature-compatible with the fit engine's ``value_and_grad_fn`` /
     ``inr_value_and_grad`` hooks (z_aux rides the coords slot, like the
     SIREN kernel's ``padded_ff``)."""
-    res = _level_z_res(model)
-    offs = [0]
-    for R in res:
-        offs.append(offs[-1] + R)
-
     def vag(params, z_aux, target):
         def loss_fn(prm):
             p = prm["params"]
-            Az_list = [z_aux[:, offs[l]:offs[l + 1]] for l in range(len(res))]
+            Az_list, mask = _split_z_aux(model, z_aux)
             pred = _tensor_apply_with_z(model, p, nx, ny, Az_list, z_bucket, nb)
-            mask = z_aux[:, -1]  # (z_bucket,)
             r2 = (pred - target) ** 2
             w = jnp.broadcast_to(
                 mask[None, None, :, None, None], (nx, ny, z_bucket, nb, 1)
@@ -308,13 +316,65 @@ def make_zbucket_value_and_grad(model: "GridINR", nx: int, ny: int,
     return vag
 
 
-def pad_target_z(target: Array, shape: tuple, z_bucket: int) -> Array:
+def pad_target_z(target, shape: tuple, z_bucket: int) -> Array:
     """Pad a flattened (prod(shape), 1) mgrid-ordered target along the z axis
-    to ``z_bucket`` planes (zeros; masked out by the z-bucketed loss)."""
+    to ``z_bucket`` planes (zeros; masked out by the z-bucketed loss).
+
+    Host-side (numpy) for the same reason as :func:`build_z_aux` — the pad
+    is per-novel-shape work that must not cost tiny-op compiles. Accepts a
+    numpy or device array (device arrays round-trip through the host, which
+    is fine: this runs once per patient in prep, not in the fit loop)."""
+    import numpy as _np
+
     nx, ny, nz, nb = shape
-    t = target.reshape(nx, ny, nz, nb, -1)
-    t = jnp.pad(t, ((0, 0), (0, 0), (0, z_bucket - nz), (0, 0), (0, 0)))
-    return t.reshape(nx * ny * z_bucket * nb, -1)
+    t = _np.asarray(target)
+    t = t.reshape(nx, ny, nz, nb, -1)
+    t = _np.pad(t, ((0, 0), (0, 0), (0, z_bucket - nz), (0, 0), (0, 0)))
+    return jnp.asarray(t.reshape(nx * ny * z_bucket * nb, -1))
+
+
+def _split_z_aux(model: "GridINR", z_aux: Array) -> tuple[list, Array]:
+    """z_aux columns -> (per-level Az list, z validity mask)."""
+    res = _level_z_res(model)
+    offs = [0]
+    for R in res:
+        offs.append(offs[-1] + R)
+    return ([z_aux[:, offs[l]:offs[l + 1]] for l in range(len(res))],
+            z_aux[:, -1])
+
+
+@functools.lru_cache(maxsize=64)
+def _tensor_runner_zbucket(model: "GridINR", nx: int, ny: int,
+                           z_bucket: int, nb: int, clamp_min):
+    """Identity-stable jitted tensor evaluator with the z axis bucketed:
+    ONE executable per (model-config, nx, ny, z_bucket, nb, clamp) serves
+    every slice count in the bucket (the inference analog of
+    :func:`make_zbucket_value_and_grad`)."""
+
+    @jax.jit
+    def run(params, z_aux):
+        Az_list, _ = _split_z_aux(model, z_aux)
+        out = _tensor_apply_with_z(model, params["params"], nx, ny,
+                                   Az_list, z_bucket, nb)
+        if clamp_min is not None:
+            out = jnp.clip(out, clamp_min, None)
+        return out.reshape(nx, ny, z_bucket, nb, -1)
+
+    return run
+
+
+def infer_tensor_grid_zbucket(model: "GridINR", params, shape: tuple,
+                              clamp_min=None) -> np.ndarray:
+    """Dense tensor-grid inference on ``mgrid(shape)`` through the z-bucketed
+    program — novel slice counts within a bucket pay ZERO compiles (the
+    shape-keyed :func:`infer_tensor_grid` paid 4-15 s per novel S on a
+    tunnelled backend). Returns a host (prod(shape), out) array."""
+    nx, ny, nz, nb = (int(s) for s in shape)
+    zb = z_bucket_for(nz)
+    z_aux = build_z_aux(model, nz, zb)
+    out = _tensor_runner_zbucket(model, nx, ny, zb, nb, clamp_min)(
+        params, z_aux)
+    return np.asarray(out)[:, :, :nz].reshape(nx * ny * nz * nb, -1)
 
 
 @functools.lru_cache(maxsize=64)

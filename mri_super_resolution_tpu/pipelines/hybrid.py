@@ -149,7 +149,7 @@ def _fit_shared_grid(normed, maxes, cfg: HybridConfig, seed: int,
 
     from mri_super_resolution_tpu.models.grid_inr import (
         build_z_aux,
-        infer_tensor_grid,
+        infer_tensor_grid_zbucket,
         make_zbucket_value_and_grad,
         pad_target_z,
         z_bucket_for,
@@ -186,8 +186,8 @@ def _fit_shared_grid(normed, maxes, cfg: HybridConfig, seed: int,
     t_fit = time.perf_counter()
 
     test_shape = (sx * 2, sy * 2, S, 16)
-    rec = np.asarray(
-        infer_tensor_grid(model, res.params, test_shape, clamp_min=0.0)
+    rec = infer_tensor_grid_zbucket(
+        model, res.params, test_shape, clamp_min=0.0
     ).reshape(sx * 2, sy * 2, S, 4, 4)  # b-major slot order -> (b, te)
     recon_hybrid = rec * maxes[None, None, None]
     t_infer = time.perf_counter()
@@ -252,9 +252,12 @@ def fit_all_te(hybrid_raw, cfg: HybridConfig, seed: int = 0) -> HybridResult:
             model, lr_shape[0], lr_shape[1], z_bucket, lr_shape[3]
         )
         ff_fit = build_z_aux(model, lr_shape[2], z_bucket)
-        targets_fit = jax.vmap(
-            lambda t: pad_target_z(t, lr_shape, z_bucket)
-        )(targets)
+        # host-side z pad of all four TE targets in one transfer
+        # (pad_target_z is numpy-backed and not vmappable)
+        th = np.asarray(targets).reshape(4, *lr_shape, -1)
+        th = np.pad(th, ((0, 0), (0, 0), (0, 0),
+                         (0, z_bucket - lr_shape[2]), (0, 0), (0, 0)))
+        targets_fit = jnp.asarray(th.reshape(4, -1, 1))
     else:
         model = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
         ff = fourier_encode(mgrid(lr_shape), B)
@@ -291,11 +294,11 @@ def fit_all_te(hybrid_raw, cfg: HybridConfig, seed: int = 0) -> HybridResult:
         params_te = jax.tree_util.tree_map(lambda x: x[te], fitted)
         if use_grid:
             from mri_super_resolution_tpu.models.grid_inr import (
-                infer_tensor_grid,
+                infer_tensor_grid_zbucket,
             )
 
-            rec = np.asarray(
-                infer_tensor_grid(model, params_te, test_shape, clamp_min=0.0)
+            rec = infer_tensor_grid_zbucket(
+                model, params_te, test_shape, clamp_min=0.0
             ).reshape(test_shape)
         else:
             # infer_dense_grid: coords generated in-program — one executable

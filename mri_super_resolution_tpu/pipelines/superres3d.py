@@ -362,13 +362,17 @@ def run_patient(
     hr_shape = hr_mean.shape
     test_shape = (hr_shape[0] * 2, hr_shape[1] * 2, hr_shape[2], hr_shape[3])
     if use_grid:
-        from mri_super_resolution_tpu.models.grid_inr import infer_tensor_grid
+        # z-bucketed inference: one executable per (in-plane shape, bucket)
+        # — novel slice counts pay zero infer compiles (grid_inr.py)
+        from mri_super_resolution_tpu.models.grid_inr import (
+            infer_tensor_grid_zbucket,
+        )
 
-        recon = np.asarray(
-            infer_tensor_grid(inr, res.inr_params, test_shape, clamp_min=0.0)
+        recon = infer_tensor_grid_zbucket(
+            inr, res.inr_params, test_shape, clamp_min=0.0
         ).reshape(test_shape)
-        sr_hr = np.asarray(
-            infer_tensor_grid(inr, res.inr_params, hr_shape, clamp_min=0.0)
+        sr_hr = infer_tensor_grid_zbucket(
+            inr, res.inr_params, hr_shape, clamp_min=0.0
         ).reshape(hr_shape)
     else:
         infer_B = None if use_wire else B

@@ -209,3 +209,15 @@ class TestZBucketedFit:
         pred = infer_tensor_grid(model, res.params, shape)
         mse = float(jnp.mean((pred - target) ** 2))
         assert mse <= float(res.losses[-1]) * 1.2
+
+    def test_zbucket_inference_matches_shape_keyed(self, rng):
+        from mri_super_resolution_tpu.models.grid_inr import (
+            infer_tensor_grid, infer_tensor_grid_zbucket)
+
+        model, params = self._model_params()
+        for shape in [(5, 5, 3, 4), (6, 6, 5, 4)]:
+            a = np.asarray(infer_tensor_grid(model, params, shape,
+                                             clamp_min=0.0))
+            b = infer_tensor_grid_zbucket(model, params, shape,
+                                          clamp_min=0.0)
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
