@@ -83,7 +83,9 @@ def main():
         jax.device_get(l)
         dt_fb = (time.perf_counter() - t0) / args.steps
 
-        flops = conv_flops_per_step(B=B)
+        # conv_flops_per_step is the FORWARD pass; backward ~2x forward
+        # (grad wrt input + grad wrt kernel) -> train step ~3x
+        flops = 3 * conv_flops_per_step(B=B)
         tf = flops / dt / 1e12
         row = {
             "batch": B,

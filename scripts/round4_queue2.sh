@@ -17,6 +17,11 @@ run_job() {
   log "$name: done ($?)"
 }
 
+# zbucket demo re-run after the host-side aux/pad + z-bucketed-inference
+# fixes (the first run, kept as zbucket_timings_prefix.json, showed 15-17 s
+# of per-shape tiny-op compiles in setup and 4-15 s infer compiles)
+run_job zbucket results/round4_presets/zbucket_timings.json \
+  python scripts/zbucket_compile_demo.py
 # re-run of the symmetric-split cohort A/B (first attempt crashed on the
 # wire arm: PN phase differentiated through the VJP-less fused forward;
 # fixed in superres3d to use the XLA apply for the engine)
@@ -28,6 +33,11 @@ run_job cohort_ab results/round4_presets/cohort_ab.json \
 run_job cohort_ab_cleangt results/round4_presets/cohort_ab_cleangt.json \
   python scripts/preset_cohort_ab.py --patients 10 --wire --acq_heldout 9 \
     --out results/round4_presets/cohort_ab_cleangt.json
+# B=64 broke the 8-32 plateau (588 vs ~400 patches/s, 57% of the lane
+# roofline) — probe the tail of the curve
+run_job rams_sweep_hi results/round4_rams/batch_sweep_hi.json \
+  python scripts/rams_batch_sweep.py --batches 64 96 128 \
+    --out results/round4_rams/batch_sweep_hi.json
 # hybrid grid_shared arm: timing + recon-quality vs the per-TE arms
 run_job hybrid_shared results/round4_hybrid/e2e_shared.json \
   python scripts/hybrid_e2e.py --patients 3 \
