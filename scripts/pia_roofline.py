@@ -67,13 +67,20 @@ def main():
         enc = jax.jit(lambda x: model.apply(params, x, method=model.encode))
         sec_single = time_jitted(lambda: enc(sig), repeats=3, warmup=1)
 
-        # (b) dispatch-amortized: `steps` encodes inside one program; the
-        # carry consumes the outputs so nothing is dead-code-eliminated
+        # (b) dispatch/transfer-amortized: `steps` encodes inside one
+        # program. The carry feeds back into the INPUT (x + c*1e-9) so the
+        # encode is genuinely loop-carried — a carry that only consumed the
+        # outputs let XLA hoist the loop-invariant encode out of the scan
+        # entirely (first run measured an impossible 855% of roofline), and
+        # the scalar output avoids the other failure mode: a single eval's
+        # wall-clock here is dominated by fetching the (n, 3) maps through
+        # the ~12 MB/s tunnel, not by compute.
         @jax.jit
         def enc_scan(x):
             def body(c, _):
-                D, T2, v = model.apply(params, x, method=model.encode)
-                return c + D.sum() + T2.sum() + v.sum(), None
+                D, T2, v = model.apply(params, x + c * 1e-9,
+                                       method=model.encode)
+                return (D.sum() + T2.sum() + v.sum()) * 1e-9, None
 
             out, _ = jax.lax.scan(body, 0.0, None, length=args.steps)
             return out
@@ -83,6 +90,8 @@ def main():
         tf = fpv * n / per_call / 1e12
         rows["batches"].append({
             "n_voxels": n,
+            # single call = compute + fetching 3x(n,3) maps to the host;
+            # through the tunnelled backend the fetch dominates
             "single_call_ms": round(sec_single * 1e3, 3),
             "single_call_voxels_per_sec": round(n / sec_single),
             "amortized_ms_per_call": round(per_call * 1e3, 3),

@@ -33,6 +33,11 @@ run_job cohort_ab results/round4_presets/cohort_ab.json \
 run_job cohort_ab_cleangt results/round4_presets/cohort_ab_cleangt.json \
   python scripts/preset_cohort_ab.py --patients 10 --wire --acq_heldout 9 \
     --out results/round4_presets/cohort_ab_cleangt.json
+# pia roofline re-run: v1's scan let XLA hoist the loop-invariant encode
+# (impossible 855%-of-roofline numbers, kept as roofline_v1_licm_bug.json);
+# the input is now loop-carried
+run_job pia_roofline results/round4_pia/roofline.json \
+  python scripts/pia_roofline.py
 # B=64 broke the 8-32 plateau (588 vs ~400 patches/s, 57% of the lane
 # roofline) — probe the tail of the curve
 run_job rams_sweep_hi results/round4_rams/batch_sweep_hi.json \
