@@ -143,16 +143,20 @@ def measure_wire(steps: int) -> float:
     return coords.shape[0] * steps / sec
 
 
-def measure_pia(n_voxels: int = 65536) -> float:
+def measure_pia(n_voxels: int = 65536, steps: int = 20) -> float:
     """PIA amortized tissue-parameter inference (encode) throughput.
 
     The capability PIA.py:16-155 exists for: replacing the per-voxel
     curve_fit loop. Recovery-accuracy evidence is
-    results/round3_pia/recovery_rangetrain.json; this line tracks the
-    speed side (~745k voxels/s/chip vs the vmapped NLLS's 11k). Encode
-    throughput is weight-independent, so fresh-init params time the same
-    program as a trained encoder — no training run needed."""
+    results/round3_pia/recovery_rangetrain.json. Protocol (round 4,
+    scripts/pia_roofline.py): ``steps`` encodes chained in ONE program with
+    a loop-carried input — a single timed call on the tunnelled backend is
+    dominated by the ~45 ms dispatch + fetching the (n, 3) maps at
+    ~12 MB/s, not by compute (and a carry that merely consumes the outputs
+    lets XLA hoist the loop-invariant encode). Encode throughput is
+    weight-independent, so fresh-init params time the trained program."""
     import jax
+    import jax.numpy as jnp
 
     from mri_super_resolution_tpu.models.pia import PIA, synthetic_batch
     from mri_super_resolution_tpu.utils import time_jitted
@@ -161,9 +165,18 @@ def measure_pia(n_voxels: int = 65536) -> float:
     sig, *_ = synthetic_batch(jax.random.key(1), n_voxels, 0.05)
     params = model.init(jax.random.key(0), sig[:8])
     sig = jax.device_put(sig)
-    enc = jax.jit(lambda x: model.apply(params, x, method=model.encode))
-    sec = time_jitted(lambda: enc(sig), repeats=3, warmup=1)
-    return n_voxels / sec
+
+    @jax.jit
+    def enc_scan(x):
+        def body(c, _):
+            D, T2, v = model.apply(params, x + c * 1e-9, method=model.encode)
+            return (D.sum() + T2.sum() + v.sum()) * 1e-9, None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
+        return out
+
+    sec = time_jitted(lambda: enc_scan(sig), repeats=3, warmup=1)
+    return n_voxels * steps / sec
 
 
 def measure_grid(steps: int) -> float:
