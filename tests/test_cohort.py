@@ -136,3 +136,17 @@ class TestShardedFitPaddedRows:
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+class TestCohortRestart:
+    def test_restart_optimizer_runs_on_mesh(self, rng):
+        """--preset quality's cohort_run mapping: restart_adam on the
+        sharded per-case fits (cohort.py inr_restart_every)."""
+        cases = [_mk_case(rng, p) for p in ("01", "02")]
+        res = cohort.run_cohort(
+            cases, num_steps=25, hidden_features=16, hidden_layers=1,
+            roi=(4, 20), inr_restart_every=10,
+        )
+        assert res.losses.shape == (2, 25)
+        assert (res.losses[:, -1] < res.losses[:, 0]).all()
+        assert np.isfinite(res.losses).all()
