@@ -82,8 +82,11 @@ def main():
             up = rescale(lr_im, 2, anti_aliasing=True)
             sp_n = max_normalize(up[: gt_im.shape[0], : gt_im.shape[1]])
             sr_n = max_normalize(sr_im)
+            psnr = lambda a, b: 10.0 * jnp.log10(
+                1.0 / jnp.maximum(jnp.mean((a - b) ** 2), 1e-30))
             return (masked_ssim_protocol(gt_n, sp_n),
-                    masked_ssim_protocol(gt_n, sr_n))
+                    masked_ssim_protocol(gt_n, sr_n),
+                    psnr(gt_n, sp_n), psnr(gt_n, sr_n))
 
         return jax.vmap(one)(gts, srs, lrs)
 
@@ -123,13 +126,14 @@ def main():
                                          seed=0, pt_id=pt_no)
             sr = res.sr_hr_grid[..., 1:4]
             lr = res.mean_img[r0:r1:2, r0:r1:2][..., 1:4]
-            sp_s, sr_s = (np.asarray(x) for x in score_table(
+            sp_s, sr_s, sp_p, sr_p = (np.asarray(x) for x in score_table(
                 jnp.asarray(gt_roi), jnp.asarray(sr), jnp.asarray(lr)))
             S = gt_roi.shape[2]
             for i in range(S * 3):
                 per_arm[arm]["rows"].append(
                     (pt_no, i // 3, (1, 2, 3)[i % 3],
-                     float(sp_s[i]), float(sr_s[i])))
+                     float(sp_s[i]), float(sr_s[i]),
+                     float(sp_p[i]), float(sr_p[i])))
             per_arm[arm]["timings"].append(
                 {k: round(v, 3) for k, v in res.timings.items()
                  if isinstance(v, float)})
@@ -161,11 +165,17 @@ def main():
     def arm_summary(rows_, timings):
         sp = [r[3] for r in rows_]
         sr = [r[4] for r in rows_]
+        spp = [r[5] for r in rows_]
+        srp = [r[6] for r in rows_]
         warm = timings[1:] or timings
         return {
             "sr_ssim_mean": round(float(np.mean(sr)), 5),
             "spline_ssim_mean": round(float(np.mean(sp)), 5),
             "sr_beats_spline_rows": f"{sum(b > a for a, b in zip(sp, sr))}/{len(sp)}",
+            "sr_psnr_mean": round(float(np.mean(srp)), 3),
+            "spline_psnr_mean": round(float(np.mean(spp)), 3),
+            "sr_beats_spline_psnr_rows":
+                f"{sum(b > a for a, b in zip(spp, srp))}/{len(spp)}",
             "warm_fit_s_mean": round(float(np.mean(
                 [t["fit_s"] for t in warm])), 2),
             "warm_total_s_mean": round(float(np.mean(
