@@ -50,11 +50,14 @@ def main():
 
     model = PIA()
     fpv = encoder_flops_per_voxel(model)
-    # v5e peaks: ~197 TF/s bf16 / ~49 TF/s f32 MXU. The encoder runs f32;
-    # its first matmuls have K in {16..256} (< the 128-lane contraction
-    # tile), but 82% of the FLOPs are the three 512x512 head matmuls, which
-    # tile cleanly — use the f32 ceiling as the roofline.
-    CEIL_TFS = 49.25
+    # v5e peaks: ~197 TF/s bf16 / ~49 TF/s 3-pass f32. The encoder's Dense
+    # layers run at XLA DEFAULT matmul precision — f32 inputs execute as
+    # bf16 multiplies with f32 accumulation on the MXU — so the bf16 peak
+    # is the relevant ceiling (the first run's 115 TF/s measurement
+    # exceeded the f32 ceiling, which is how the wrong label was caught).
+    # 82% of the FLOPs are the three 512x512 head matmuls (tile cleanly);
+    # the entry layers are small-K.
+    CEIL_TFS = 197.0
 
     key = jax.random.key(0)
     rows = {"flops_per_voxel": fpv, "batches": []}
@@ -97,7 +100,7 @@ def main():
             "amortized_ms_per_call": round(per_call * 1e3, 3),
             "amortized_voxels_per_sec": round(n / per_call),
             "achieved_tflops": round(tf, 2),
-            "pct_f32_roofline": round(100 * tf / CEIL_TFS, 1),
+            "pct_bf16_mxu_peak": round(100 * tf / CEIL_TFS, 1),
             "dispatch_overhead_ms": round((sec_single - per_call) * 1e3, 3),
         })
         print(json.dumps(rows["batches"][-1]))
