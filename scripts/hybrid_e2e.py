@@ -95,8 +95,12 @@ def main():
     @jax.jit
     def recon_quality(recon, hr):
         """Masked SSIM + PSNR of the de-normalized recon vs the HR ROI over
-        every (slice, b, te) image. recon/hr: (2sx, 2sy, S, 4, 4) with the
-        recon grid == the HR ROI grid (LR was its ::2 decimation)."""
+        every (slice, b, te) image. recon: (2sx, 2sy, S, 4, 4) on the 2x
+        super-resolved grid; hr: (sx, sy, S, 4, 4) — the full-resolution
+        acquired ROI. recon[::2, ::2] lands exactly on the HR ROI grid (the
+        fit only ever saw ITS ::2 decimation), so the comparison scores the
+        half of the grid the fit never observed alongside the seen half."""
+        recon = recon[::2, ::2]
         r = jnp.moveaxis(recon, (2, 3, 4), (0, 1, 2)).reshape(-1, *recon.shape[:2])
         h = jnp.moveaxis(hr, (2, 3, 4), (0, 1, 2)).reshape(-1, *hr.shape[:2])
 
