@@ -217,10 +217,12 @@ def measure_grid(steps: int) -> float:
     return coords.shape[0] * steps / sec
 
 
-def measure_rams(steps: int) -> float:
+def measure_rams(steps: int, batch: int = 8) -> float:
     """MISR trainer step throughput (patches/sec): RAMS at the reference
     config (multi-image-super-resolution/master.py:20-27 — scale 3, F=32,
-    T=9, N=12), batch 8 of 32x32 LR stacks -> 96x96 HR, shift-tolerant L1."""
+    T=9, N=12), ``batch`` 32x32 LR stacks -> 96x96 HR, shift-tolerant L1.
+    batch=8 is the reference operating point; batch=96 is the measured
+    throughput optimum on the v5e (results/round4_rams/batch_sweep_hi.json)."""
     import time
 
     import jax
@@ -231,12 +233,12 @@ def measure_rams(steps: int) -> float:
     from mri_super_resolution_tpu.fit.trainer import Trainer
     from mri_super_resolution_tpu.pipelines.misr import build_rams
 
-    cfg = TrainerConfig(batch_size=8, hr_size=96,
+    cfg = TrainerConfig(batch_size=batch, hr_size=96,
                         checkpoint_dir="/tmp/bench_rams_ckpt",
                         log_dir="/tmp/bench_rams_logs")
     tr = Trainer(build_rams(RAMSConfig()), cfg, name="bench")
     rng = np.random.default_rng(0)
-    B = 8
+    B = batch
     x = jnp.asarray(rng.uniform(7000, 8000, (B, 32, 32, 9)).astype(np.float32))
     y = jnp.asarray(rng.uniform(7000, 8000, (B, 96, 96, 1)).astype(np.float32))
     m = jnp.ones_like(y)
@@ -494,25 +496,30 @@ def main():
         )
         for row in measure_serving(args.quick):
             print(json.dumps(row))
-        rams_pps = measure_rams(10 if args.quick else 50)
         # roofline context (VERDICT r2 #1): analytic conv FLOPs at the
-        # reference config ~384 G per train step; the architecture's
-        # filters=32 caps MXU lane occupancy at 25%, so the achievable
-        # ceiling is ~49 TF/s bf16 (see scripts/profile_rams.py)
-        rams_flops = 3 * 128.0e9
-        rams_tf = rams_flops * (rams_pps / 8.0) / 1e12
-        print(
-            json.dumps(
-                {
-                    "metric": "rams_train_patches_per_sec_per_chip",
-                    "value": round(rams_pps, 1),
-                    "unit": "patches/sec/chip",
-                    "ms_per_step": round(8.0 * 1e3 / rams_pps, 2),
-                    "achieved_tflops": round(rams_tf, 2),
-                    "pct_lane_constrained_roofline": round(100 * rams_tf / 49.25, 1),
-                }
+        # reference config ~48 G per patch; the architecture's filters=32
+        # caps MXU lane occupancy at 25%, so the achievable ceiling is
+        # ~49 TF/s bf16 (see scripts/profile_rams.py). Two operating
+        # points: the reference batch (8) and the measured v5e throughput
+        # optimum (96; results/round4_rams/batch_sweep_hi.json).
+        flops_per_patch = 48.0e9
+        for rb, metric in ((8, "rams_train_patches_per_sec_per_chip"),
+                           (96, "rams_train_b96_patches_per_sec_per_chip")):
+            rams_pps = measure_rams(10 if args.quick else 50, batch=rb)
+            rams_tf = flops_per_patch * rams_pps / 1e12
+            print(
+                json.dumps(
+                    {
+                        "metric": metric,
+                        "value": round(rams_pps, 1),
+                        "unit": "patches/sec/chip",
+                        "batch": rb,
+                        "ms_per_step": round(rb * 1e3 / rams_pps, 2),
+                        "achieved_tflops": round(rams_tf, 2),
+                        "pct_lane_constrained_roofline": round(100 * rams_tf / 49.25, 1),
+                    }
+                )
             )
-        )
 
     ours = measure_jax(steps)
 

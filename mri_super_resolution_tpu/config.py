@@ -175,7 +175,13 @@ class RAMSConfig:
 
 @dataclasses.dataclass
 class TrainerConfig:
-    """MISR Trainer knobs (utils/training.py:108-120)."""
+    """MISR Trainer knobs (utils/training.py:108-120).
+
+    batch_size keeps the reference default; on the v5e the measured
+    throughput optimum is 96 — 878.8 patches/s = 85.7% of the filters=32
+    lane-constrained roofline, vs ~400 at 8-32 and a memory cliff at 128
+    (results/round4_rams/batch_sweep_hi.json).
+    """
 
     batch_size: int = 32
     buffer_size: int = 512
