@@ -173,7 +173,17 @@ def wire_forward(x: Array, weights: Sequence[Array], omegas: Array,
 
 
 def _loss_grad_kernel(n_hidden: int, compute_dtype, inv_n: float,
-                      n_rows: int, tile: int, fast: bool = True):
+                      n_rows: int, tile: int, fast: bool = True,
+                      row_split: int = 1):
+    """``row_split`` processes the tile as that many independent row
+    sub-blocks (static unroll), the experiment VERDICT r3 weak #4 asked for
+    on THIS kernel (round 3 only ran it on the SIREN kernel, which is
+    MXU-bound; the Gabor step is VPU-transcendental-bound, so independent
+    chains have more latency to hide). Sub-block chains only meet at the
+    dW accumulation. Parity-tested; default 1."""
+    assert tile % row_split == 0
+    sub = tile // row_split
+
     def kernel(*refs):
         # inputs: x, omegas, w0..wN, target
         # outputs: loss(1,1), dw0..dwN
@@ -193,36 +203,77 @@ def _loss_grad_kernel(n_hidden: int, compute_dtype, inv_n: float,
             for r in dw:
                 r[:] = jnp.zeros_like(r)
 
-        out, saved = _forward_tile(
-            x_ref[:], wr, oms_ref[:], n_hidden, compute_dtype, stash=True,
-            fast=fast,
-        )
-        rows = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0) + i * tile
-        r = jnp.where(rows < n_rows, out - t_ref[:], 0.0)
-        # (1, 1)-shaped store: Mosaic rejects scalar stores to VMEM
-        loss_ref[:] = loss_ref[:] + jnp.sum(r * r).reshape(1, 1) * inv_n
-        g = (2.0 * inv_n) * r
+        loss_acc = None
+        for sblk in range(row_split):
+            sl = slice(sblk * sub, (sblk + 1) * sub) if row_split > 1 else slice(None)
+            out, saved = _forward_tile(
+                x_ref[sl, :], wr, oms_ref[:], n_hidden, compute_dtype,
+                stash=True, fast=fast,
+            )
+            rows = (jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
+                    + i * tile + sblk * sub)
+            r = jnp.where(rows < n_rows, out - t_ref[sl, :], 0.0)
+            part = jnp.sum(r * r).reshape(1, 1)
+            loss_acc = part if loss_acc is None else loss_acc + part
+            g = (2.0 * inv_n) * r
 
-        f32 = lambda t: tuple(v.astype(jnp.float32) for v in t)
-        s_first = saved[0]
-        s_hidden = [(saved[1 + 2 * l], saved[2 + 2 * l]) for l in range(n_hidden)]
-        s_final = saved[1 + 2 * n_hidden]
+            f32 = lambda t: tuple(v.astype(jnp.float32) for v in t)
+            s_first = saved[0]
+            s_hidden = [(saved[1 + 2 * l], saved[2 + 2 * l]) for l in range(n_hidden)]
+            s_final = saved[1 + 2 * n_hidden]
 
-        # final complex linear: out = hr Kr - hi Ki + br
-        base = FIRST_N + HIDDEN_N * n_hidden
-        hr, hi = f32(s_final)
-        dw[base][:] += _dot_ta(hr, g, compute_dtype)
-        dw[base + 1][:] += -_dot_ta(hi, g, compute_dtype)
-        dw[base + 2][:] += jnp.sum(g, axis=0, keepdims=True)
-        dhr = _dot_tb(g, wr[base][:], compute_dtype)
-        dhi = -_dot_tb(g, wr[base + 1][:], compute_dtype)
+            # final complex linear: out = hr Kr - hi Ki + br
+            base = FIRST_N + HIDDEN_N * n_hidden
+            hr, hi = f32(s_final)
+            dw[base][:] += _dot_ta(hr, g, compute_dtype)
+            dw[base + 1][:] += -_dot_ta(hi, g, compute_dtype)
+            dw[base + 2][:] += jnp.sum(g, axis=0, keepdims=True)
+            dhr = _dot_tb(g, wr[base][:], compute_dtype)
+            dhi = -_dot_tb(g, wr[base + 1][:], compute_dtype)
 
-        for l in reversed(range(n_hidden)):
-            base = FIRST_N + HIDDEN_N * l
-            om = oms_ref[l + 1, 0]
-            sg2 = oms_ref[l + 1, 1] * oms_ref[l + 1, 1]
-            (hr, hi) = f32(s_hidden[l][0])
-            (sr, si_, s2r, s2i, m) = f32(s_hidden[l][1])
+            for l in reversed(range(n_hidden)):
+                base = FIRST_N + HIDDEN_N * l
+                om = oms_ref[l + 1, 0]
+                sg2 = oms_ref[l + 1, 1] * oms_ref[l + 1, 1]
+                (hr, hi) = f32(s_hidden[l][0])
+                (sr, si_, s2r, s2i, m) = f32(s_hidden[l][1])
+                if fast:
+                    s, c = _fast_sincos(om * sr)
+                else:
+                    c = jnp.cos(om * sr)
+                    s = jnp.sin(om * sr)
+                du = (dhr * c + dhi * s) * m
+                dsr = du * (-2.0 * sg2 * sr) + om * m * (dhi * c - dhr * s)
+                dsi = du * (-om - 2.0 * sg2 * si_)
+                ds2r = du * (-2.0 * sg2 * s2r)
+                ds2i = du * (-2.0 * sg2 * s2i)
+
+                dw[base][:] += _dot_ta(hr, dsr, compute_dtype) + _dot_ta(hi, dsi, compute_dtype)
+                dw[base + 1][:] += _dot_ta(hr, dsi, compute_dtype) - _dot_ta(hi, dsr, compute_dtype)
+                dw[base + 2][:] += jnp.sum(dsr, axis=0, keepdims=True)
+                dw[base + 3][:] += jnp.sum(dsi, axis=0, keepdims=True)
+                dw[base + 4][:] += _dot_ta(hr, ds2r, compute_dtype) + _dot_ta(hi, ds2i, compute_dtype)
+                dw[base + 5][:] += _dot_ta(hr, ds2i, compute_dtype) - _dot_ta(hi, ds2r, compute_dtype)
+                dw[base + 6][:] += jnp.sum(ds2r, axis=0, keepdims=True)
+                dw[base + 7][:] += jnp.sum(ds2i, axis=0, keepdims=True)
+
+                dhr = (
+                    _dot_tb(dsr, wr[base][:], compute_dtype)
+                    + _dot_tb(dsi, wr[base + 1][:], compute_dtype)
+                    + _dot_tb(ds2r, wr[base + 4][:], compute_dtype)
+                    + _dot_tb(ds2i, wr[base + 5][:], compute_dtype)
+                )
+                dhi = (
+                    -_dot_tb(dsr, wr[base + 1][:], compute_dtype)
+                    + _dot_tb(dsi, wr[base][:], compute_dtype)
+                    - _dot_tb(ds2r, wr[base + 5][:], compute_dtype)
+                    + _dot_tb(ds2i, wr[base + 4][:], compute_dtype)
+                )
+
+            # first layer (real input; si = s2i = 0, u = -sigma^2 (sr^2 + s2r^2))
+            om = oms_ref[0, 0]
+            sg2 = oms_ref[0, 1] * oms_ref[0, 1]
+            (sr, s2r, m) = f32(s_first)
             if fast:
                 s, c = _fast_sincos(om * sr)
             else:
@@ -230,56 +281,23 @@ def _loss_grad_kernel(n_hidden: int, compute_dtype, inv_n: float,
                 s = jnp.sin(om * sr)
             du = (dhr * c + dhi * s) * m
             dsr = du * (-2.0 * sg2 * sr) + om * m * (dhi * c - dhr * s)
-            dsi = du * (-om - 2.0 * sg2 * si_)
             ds2r = du * (-2.0 * sg2 * s2r)
-            ds2i = du * (-2.0 * sg2 * s2i)
+            x = x_ref[sl, :]
+            dw[0][:] += _dot_ta(x, dsr, compute_dtype)
+            dw[1][:] += jnp.sum(dsr, axis=0, keepdims=True)
+            dw[2][:] += _dot_ta(x, ds2r, compute_dtype)
+            dw[3][:] += jnp.sum(ds2r, axis=0, keepdims=True)
 
-            dw[base][:] += _dot_ta(hr, dsr, compute_dtype) + _dot_ta(hi, dsi, compute_dtype)
-            dw[base + 1][:] += _dot_ta(hr, dsi, compute_dtype) - _dot_ta(hi, dsr, compute_dtype)
-            dw[base + 2][:] += jnp.sum(dsr, axis=0, keepdims=True)
-            dw[base + 3][:] += jnp.sum(dsi, axis=0, keepdims=True)
-            dw[base + 4][:] += _dot_ta(hr, ds2r, compute_dtype) + _dot_ta(hi, ds2i, compute_dtype)
-            dw[base + 5][:] += _dot_ta(hr, ds2i, compute_dtype) - _dot_ta(hi, ds2r, compute_dtype)
-            dw[base + 6][:] += jnp.sum(ds2r, axis=0, keepdims=True)
-            dw[base + 7][:] += jnp.sum(ds2i, axis=0, keepdims=True)
-
-            dhr = (
-                _dot_tb(dsr, wr[base][:], compute_dtype)
-                + _dot_tb(dsi, wr[base + 1][:], compute_dtype)
-                + _dot_tb(ds2r, wr[base + 4][:], compute_dtype)
-                + _dot_tb(ds2i, wr[base + 5][:], compute_dtype)
-            )
-            dhi = (
-                -_dot_tb(dsr, wr[base + 1][:], compute_dtype)
-                + _dot_tb(dsi, wr[base][:], compute_dtype)
-                - _dot_tb(ds2r, wr[base + 5][:], compute_dtype)
-                + _dot_tb(ds2i, wr[base + 4][:], compute_dtype)
-            )
-
-        # first layer (real input; si = s2i = 0, u = -sigma^2 (sr^2 + s2r^2))
-        om = oms_ref[0, 0]
-        sg2 = oms_ref[0, 1] * oms_ref[0, 1]
-        (sr, s2r, m) = f32(s_first)
-        if fast:
-            s, c = _fast_sincos(om * sr)
-        else:
-            c = jnp.cos(om * sr)
-            s = jnp.sin(om * sr)
-        du = (dhr * c + dhi * s) * m
-        dsr = du * (-2.0 * sg2 * sr) + om * m * (dhi * c - dhr * s)
-        ds2r = du * (-2.0 * sg2 * s2r)
-        x = x_ref[:]
-        dw[0][:] += _dot_ta(x, dsr, compute_dtype)
-        dw[1][:] += jnp.sum(dsr, axis=0, keepdims=True)
-        dw[2][:] += _dot_ta(x, ds2r, compute_dtype)
-        dw[3][:] += jnp.sum(ds2r, axis=0, keepdims=True)
+        # (1, 1)-shaped store: Mosaic rejects scalar stores to VMEM
+        loss_ref[:] = loss_ref[:] + loss_acc * inv_n
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_hidden", "compute_dtype", "interpret", "tile", "fast"),
+    static_argnames=("n_hidden", "compute_dtype", "interpret", "tile", "fast",
+                     "row_split"),
 )
 def wire_loss_grads(
     x: Array,
@@ -291,6 +309,7 @@ def wire_loss_grads(
     interpret: bool | None = None,
     tile: int = TILE_BWD,
     fast: bool = True,
+    row_split: int = 1,
 ):
     """One-pass ``(mse_loss, dweights)`` for a full-batch WIRE train step."""
     interpret = (not _is_tpu()) if interpret is None else interpret
@@ -319,7 +338,8 @@ def wire_loss_grads(
         out_specs.append(full(w))
 
     outs = pl.pallas_call(
-        _loss_grad_kernel(n_hidden, compute_dtype, inv_n, P, tile, fast),
+        _loss_grad_kernel(n_hidden, compute_dtype, inv_n, P, tile, fast,
+                          row_split),
         out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=in_specs,
@@ -400,7 +420,7 @@ def make_wire_fused_apply(model, compute_dtype=None):
 
 @functools.lru_cache(maxsize=None)
 def make_wire_value_and_grad(model, compute_dtype=None, tile: int = TILE_BWD,
-                             fast: bool = True):
+                             fast: bool = True, row_split: int = 1):
     """One-pass (loss, grads) for the WIRE MSE fit (reference default
     trainable=False: omega/sigma gradients are zero)."""
     if model.trainable:
@@ -414,7 +434,7 @@ def make_wire_value_and_grad(model, compute_dtype=None, tile: int = TILE_BWD,
         ws, oms = wire_weights_from_flax(params, n_hidden)
         loss, dws = wire_loss_grads(
             x, tuple(ws), oms, target, n_hidden, compute_dtype, tile=tile,
-            fast=fast,
+            fast=fast, row_split=row_split,
         )
         return loss, wire_grads_to_flax(dws, params, n_hidden)
 

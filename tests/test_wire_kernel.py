@@ -62,6 +62,23 @@ class TestWireLossGrads:
                 err_msg=jax.tree_util.keystr(kp),
             )
 
+    def test_row_split_parity(self, setup):
+        """row_split sub-block chains compute the identical loss/grads —
+        only the instruction schedule differs (the VERDICT r3 weak-#4
+        interleave experiment, run on THIS kernel this time)."""
+        model, params, x = setup
+        target = jnp.asarray(
+            np.random.default_rng(2).uniform(0, 1, size=(300, 1)).astype(np.float32)
+        )
+        base = make_wire_value_and_grad(model)(params, x, target)
+        for rs in (2, 4):
+            split = make_wire_value_and_grad(model, row_split=rs)(params, x, target)
+            np.testing.assert_allclose(float(split[0]), float(base[0]), rtol=1e-6)
+            for gk, gr in zip(jax.tree.leaves(split[1]), jax.tree.leaves(base[1])):
+                np.testing.assert_allclose(
+                    np.asarray(gk), np.asarray(gr), rtol=1e-5, atol=1e-7
+                )
+
     def test_trainable_rejected(self):
         with pytest.raises(NotImplementedError):
             make_wire_value_and_grad(Wire(trainable=True))
