@@ -76,10 +76,13 @@ def main():
         params, opt_state = st.params, st.opt_state
 
         # pay the train/eval program compiles outside the clock: one
-        # discarded functional step + one eval
+        # discarded functional step + one eval. _train_step DONATES its
+        # params/opt_state buffers, so the warm-up runs on copies — the
+        # live state (still referenced by tr.state / evaluate) survives.
         xb = jnp.asarray(Xt[:B]); yb = jnp.asarray(Yt[:B])
         mb = jnp.asarray(Mt[:B]); wb = jnp.ones((B,), jnp.float32)
-        _ = tr._train_step(params, opt_state, xb, yb, mb, wb)
+        _ = tr._train_step(jax.tree.map(jnp.copy, params),
+                           jax.tree.map(jnp.copy, opt_state), xb, yb, mb, wb)
         jax.device_get(_[2])
         _ = tr.evaluate(Xv, Yv, Mv)
 
