@@ -63,7 +63,7 @@ def main():
                     model.apply, tx, jax.tree.map(jnp.copy, params),
                     coords, target, steps, value_and_grad_fn=vag,
                 )
-                jax.device_get(res.loss)
+                jax.device_get(res.losses[-1])
                 return res
 
             run()  # compile
