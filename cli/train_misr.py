@@ -105,6 +105,15 @@ def main(argv=None):
     p.add_argument("--evaluate_every", type=int, default=20)
     p.add_argument("--ckpt_dir", default="artifacts/rams_dwi")
     p.add_argument("--data_aug", action="store_true")
+    p.add_argument("--learning_rate", type=float, default=1e-4,
+                   help="Adam lr (reference recipe 1e-4 at batch 8; the "
+                   "validated large-batch recipe is 3.5e-4 at batch 96, "
+                   "results/round4_rams/recipe_ab.json)")
+    p.add_argument("--lr_schedule", choices=("constant", "cosine"),
+                   default="constant",
+                   help="cosine decays lr -> 0 over the run: a single-run "
+                   "stand-in for the reference's manual lr-decayed "
+                   "continuation runs")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--split", choices=("patient", "sequential"), default="patient",
                    help="patient: hold out whole patients for val (no leak); "
@@ -125,17 +134,24 @@ def main(argv=None):
         (Xt, Yt, Mt), (Xv, Yv, Mv) = split_dataset(
             X, Y, M, pids, holdout_patients=args.holdout_patients)
     else:
-        n_val = max(args.batch_size, len(X) // 10)
+        # first 10% of patches, independent of batch_size: the committed
+        # anchor protocol is val = first 84 of the seed-0 8-patch dataset
+        # (artifacts/rams_dwi/anchor.json) and must not move when batch_size
+        # does; ragged eval batches are handled exactly by the Trainer.
+        n_val = max(8, len(X) // 10)
         Xt, Yt, Mt = X[n_val:], Y[n_val:], M[n_val:]
         Xv, Yv, Mv = X[:n_val], Y[:n_val], M[:n_val]
     print(f"dataset: {len(Xt)} train / {len(Xv)} val patches ({args.split} split), "
           f"LR {Xt.shape[1:]} HR {Yt.shape[1:]}")
 
     model = build_rams(RAMSConfig(filters=args.filters, N=args.N))
+    steps_per_epoch = -(-len(Xt) // args.batch_size)
     cfg = TrainerConfig(
         batch_size=args.batch_size, epochs=args.epochs, hr_size=args.hr_size,
         evaluate_every=args.evaluate_every, checkpoint_dir=os.path.abspath(args.ckpt_dir),
-        data_aug=args.data_aug,
+        data_aug=args.data_aug, learning_rate=args.learning_rate,
+        lr_schedule=args.lr_schedule,
+        decay_steps=args.epochs * steps_per_epoch,
     )
     mesh = None
     if args.data_parallel:

@@ -190,6 +190,11 @@ class TrainerConfig:
     val_steps: int = 100
     hr_size: int = 96
     learning_rate: float = 1e-4
+    # "constant" (the reference recipe) or "cosine" — a single-run stand-in
+    # for the reference's manual lr-decayed continuation runs. "cosine"
+    # decays learning_rate -> 0 over decay_steps train steps.
+    lr_schedule: str = "constant"
+    decay_steps: int = 0
     checkpoint_dir: str = "ckpt"
     log_dir: str = "logs"
     max_to_keep: int = 3

@@ -90,7 +90,15 @@ class Trainer:
         # (32,)-sized copies per step on TPU (~0.6 ms of pure dispatch).
         # Flattening runs one fused update over a single concatenated vector
         # — numerically identical for elementwise transforms like adam.
-        self.tx = optax.flatten(optax.adam(cfg.learning_rate))
+        if cfg.lr_schedule == "cosine":
+            if cfg.decay_steps <= 0:
+                raise ValueError("lr_schedule='cosine' needs decay_steps > 0")
+            lr = optax.cosine_decay_schedule(cfg.learning_rate, cfg.decay_steps)
+        elif cfg.lr_schedule == "constant":
+            lr = cfg.learning_rate
+        else:
+            raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+        self.tx = optax.flatten(optax.adam(lr))
         self.manager = CheckpointManager(cfg.checkpoint_dir, cfg.max_to_keep)
         self.state: TrainState | None = None
         self.log_rows: list[tuple] = []

@@ -39,6 +39,29 @@ class TestTrainer:
         st2 = tr2.init(x)
         assert st2.step == tr.manager.latest_step()
 
+    def test_cosine_lr_schedule(self, tiny_model, tmp_path, rng):
+        """cosine schedule trains (lr decays in-graph via the step count);
+        decay_steps=0 with cosine is rejected at construction."""
+        x, y, m = _tiny_data(rng)
+        cfg = TrainerConfig(
+            batch_size=2, epochs=1, evaluate_every=10, hr_size=24,
+            lr_schedule="cosine", decay_steps=4,
+            checkpoint_dir=str(tmp_path / "ckpt_cos"),
+            log_dir=str(tmp_path / "logs_cos"),
+        )
+        tr = Trainer(tiny_model, cfg)
+        tr.init(x)
+        state = tr.fit(x, (y, m))
+        assert state.step == 2
+        with pytest.raises(ValueError, match="decay_steps"):
+            Trainer(tiny_model, TrainerConfig(
+                lr_schedule="cosine", checkpoint_dir=str(tmp_path / "c2"),
+                log_dir=str(tmp_path / "l2")))
+        with pytest.raises(ValueError, match="lr_schedule"):
+            Trainer(tiny_model, TrainerConfig(
+                lr_schedule="bogus", checkpoint_dir=str(tmp_path / "c3"),
+                log_dir=str(tmp_path / "l3")))
+
     def test_restore_pre_flatten_opt_state_falls_back(self, tiny_model,
                                                       tmp_path, rng):
         """A checkpoint whose opt_state tree doesn't match the current
