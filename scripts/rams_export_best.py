@@ -8,6 +8,7 @@ the save-best checkpoint landed but before its export step ran.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -18,6 +19,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, os.path.join(repo, "cli"))
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt_dir",
+                    default=os.path.join(repo, "artifacts", "rams_dwi"))
+    ap.add_argument("--params_dir",
+                    default=os.path.join(repo, "artifacts", "rams_dwi_params"))
+    ap.add_argument("--lr_schedule", choices=("constant", "cosine"),
+                    default="constant",
+                    help="must match the training run — a cosine run's "
+                    "opt_state carries schedule state the restore template "
+                    "has to mirror")
+    ap.add_argument("--decay_steps", type=int, default=1)
+    args = ap.parse_args()
+
     from train_misr import build_dataset
 
     from mri_super_resolution_tpu.config import RAMSConfig, TrainerConfig
@@ -29,11 +43,12 @@ def main():
     n_val = max(8, len(X) // 10)
     Xv, Yv, Mv = X[:n_val], Y[:n_val], M[:n_val]
 
-    ckpt_dir = os.path.join(repo, "artifacts", "rams_dwi")
-    params_dir = os.path.join(repo, "artifacts", "rams_dwi_params")
+    ckpt_dir = os.path.abspath(args.ckpt_dir)
+    params_dir = os.path.abspath(args.params_dir)
     cfg = TrainerConfig(
         batch_size=8, hr_size=Yv.shape[1], checkpoint_dir=ckpt_dir,
-        save_best_only=True,
+        save_best_only=True, lr_schedule=args.lr_schedule,
+        decay_steps=args.decay_steps,
     )
     tr = Trainer(build_rams(RAMSConfig()), cfg, name="export")
     st = tr.init(Xv, seed=0)
