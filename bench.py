@@ -503,8 +503,12 @@ def main():
         # points: the reference batch (8) and the measured v5e throughput
         # optimum (96; results/round4_rams/batch_sweep_hi.json).
         flops_per_patch = 48.0e9
-        for rb, metric in ((8, "rams_train_patches_per_sec_per_chip"),
-                           (96, "rams_train_b96_patches_per_sec_per_chip")):
+        rams_points = [(8, "rams_train_patches_per_sec_per_chip")]
+        if not args.quick:
+            # the B=96 step is ~12x the B=8 FLOPs — skip it in quick/smoke
+            # mode (incl. the CPU-fallback path, which sets quick=True)
+            rams_points.append((96, "rams_train_b96_patches_per_sec_per_chip"))
+        for rb, metric in rams_points:
             rams_pps = measure_rams(10 if args.quick else 50, batch=rb)
             rams_tf = flops_per_patch * rams_pps / 1e12
             print(

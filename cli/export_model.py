@@ -89,6 +89,14 @@ def main(argv=None):
     pr.add_argument("--out", required=True)
     pr.add_argument("--platforms", nargs="*", default=None)
     pr.add_argument("--check", action="store_true")
+    pr.add_argument("--check_tol", type=float, default=2e-2,
+                    help="roundtrip max-rel-err bound. The artifact and the "
+                    "live jit are separately compiled bf16 programs, so the "
+                    "point error is weights-dependent: 8.3e-3 for the "
+                    "step-9800 artifact, 1.33e-2 for the shipped B=96 one "
+                    "(metric impact negligible: served val cPSNR 28.103 vs "
+                    "live 28.153). Tighten when checking a fresh export "
+                    "against a known-good error class.")
 
     pp = sub.add_parser(
         "pia", help="PIA tissue-fitter artifact: signals (n, S) -> (D, T2, v)")
@@ -183,12 +191,8 @@ def main(argv=None):
         if args.check:
             x = jax.random.uniform(
                 jax.random.key(0), (2, args.height, args.width, args.channels)) * 5000
-            # 2e-2: artifact and live jit are separately compiled bf16
-            # programs; the point error is weights-dependent (8.3e-3 for the
-            # step-9800 artifact, 1.33e-2 for the B=96 one) while the metric
-            # impact is negligible — served val cPSNR 28.103 vs live 28.153
-            # on the anchor split (round 4)
-            _check(args.out, lambda v: model.apply(params, v), x, tol_rel=2e-2)
+            _check(args.out, lambda v: model.apply(params, v), x,
+                   tol_rel=args.check_tol)
 
 
 if __name__ == "__main__":

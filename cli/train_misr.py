@@ -146,12 +146,25 @@ def main(argv=None):
 
     model = build_rams(RAMSConfig(filters=args.filters, N=args.N))
     steps_per_epoch = -(-len(Xt) // args.batch_size)
+    # cosine resume correctness: Trainer.init auto-restores the checkpoint
+    # INCLUDING the schedule's step count, so a resumed run whose decay_steps
+    # counted from 0 would spend its whole budget past the cosine's end at
+    # lr ~0. Anchor the decay horizon at restored_step + this run's steps.
+    restored_step = 0
+    if args.lr_schedule == "cosine":
+        from mri_super_resolution_tpu.utils.checkpoint import CheckpointManager
+
+        restored_step = CheckpointManager(
+            os.path.abspath(args.ckpt_dir)).latest_step() or 0
+        if restored_step:
+            print(f"cosine schedule resumes from step {restored_step}; "
+                  f"decay extended to {restored_step + args.epochs * steps_per_epoch}")
     cfg = TrainerConfig(
         batch_size=args.batch_size, epochs=args.epochs, hr_size=args.hr_size,
         evaluate_every=args.evaluate_every, checkpoint_dir=os.path.abspath(args.ckpt_dir),
         data_aug=args.data_aug, learning_rate=args.learning_rate,
         lr_schedule=args.lr_schedule,
-        decay_steps=args.epochs * steps_per_epoch,
+        decay_steps=restored_step + args.epochs * steps_per_epoch,
     )
     mesh = None
     if args.data_parallel:

@@ -54,9 +54,15 @@ def main():
     st = tr.init(Xv, seed=0)
 
     latest = tr.manager.latest_step()
-    tree = tr.manager.restore(
-        {"params": st.params, "opt_state": st.opt_state,
-         "step": 0, "psnr": 0.0}, step=latest)
+    try:
+        tree = tr.manager.restore(
+            {"params": st.params, "opt_state": st.opt_state,
+             "step": 0, "psnr": 0.0}, step=latest)
+    except ValueError:
+        # opt_state template mismatch (e.g. a cosine run's checkpoint
+        # carries schedule state and --lr_schedule wasn't passed): restore
+        # templateless — this script only needs the params anyway.
+        tree = tr.manager.restore(step=latest)
     print(f"restored checkpoint step {tree['step']} "
           f"(recorded psnr {tree['psnr']:.4f} dB)", flush=True)
 

@@ -13,15 +13,14 @@ on wire_loss_grads at row_split {1, 2, 4} over two production shapes:
                      --inr_model wire, the hybrid/3-D LR volume size)
 
 Timing protocol: fit_simple's scanned+jitted program (one dispatch for all
-steps), fenced with device_get (block_until_ready is unreliable on this
-backend), best of 3. Writes results/round4_wire/rowsplit_ab.json.
+steps), timed with utils.time_jitted (device_get fencing, median of 3).
+Writes results/round4_wire/rowsplit_ab.json.
 """
 from __future__ import annotations
 
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -37,6 +36,7 @@ def main():
     from mri_super_resolution_tpu.ops.pallas.wire_kernel import (
         make_wire_value_and_grad,
     )
+    from mri_super_resolution_tpu.utils import time_jitted
 
     steps = 500
     shapes = {
@@ -59,23 +59,16 @@ def main():
             vag = make_wire_value_and_grad(model, row_split=rs)
 
             def run():
-                res = fit_simple(
+                return fit_simple(
                     model.apply, tx, jax.tree.map(jnp.copy, params),
                     coords, target, steps, value_and_grad_fn=vag,
-                )
-                jax.device_get(res.losses[-1])
-                return res
+                ).losses
 
-            run()  # compile
-            best = min(
-                (lambda t0: (run(), time.perf_counter() - t0)[1])(
-                    time.perf_counter())
-                for _ in range(3)
-            )
+            sec = time_jitted(run)  # median of 3, device_get-fenced
             rows[f"row_split={rs}"] = {
-                "wall_s": round(best, 4),
-                "ms_per_step": round(best * 1e3 / steps, 4),
-                "voxel_steps_per_sec": round(coords.shape[0] * steps / best, 1),
+                "wall_s": round(sec, 4),
+                "ms_per_step": round(sec * 1e3 / steps, 4),
+                "voxel_steps_per_sec": round(coords.shape[0] * steps / sec, 1),
             }
             print(json.dumps({"case": name, "row_split": rs} | rows[f"row_split={rs}"]),
                   flush=True)
