@@ -114,6 +114,10 @@ def main(argv=None):
                    help="cosine decays lr -> 0 over the run: a single-run "
                    "stand-in for the reference's manual lr-decayed "
                    "continuation runs")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="exponential-moving-average of weights (0 = off, the "
+                   "reference behaviour); when > 0 validation and the saved "
+                   "checkpoint serve the averaged weights")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--split", choices=("patient", "sequential"), default="patient",
                    help="patient: hold out whole patients for val (no leak); "
@@ -163,7 +167,7 @@ def main(argv=None):
         batch_size=args.batch_size, epochs=args.epochs, hr_size=args.hr_size,
         evaluate_every=args.evaluate_every, checkpoint_dir=os.path.abspath(args.ckpt_dir),
         data_aug=args.data_aug, learning_rate=args.learning_rate,
-        lr_schedule=args.lr_schedule,
+        lr_schedule=args.lr_schedule, ema_decay=args.ema_decay,
         decay_steps=restored_step + args.epochs * steps_per_epoch,
     )
     mesh = None

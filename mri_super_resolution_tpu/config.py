@@ -195,6 +195,12 @@ class TrainerConfig:
     # decays learning_rate -> 0 over decay_steps train steps.
     lr_schedule: str = "constant"
     decay_steps: int = 0
+    # exponential-moving-average of the weights (0 = off, the reference
+    # behaviour). When > 0 the trainer tracks ema = d*ema + (1-d)*params
+    # each step and uses the averaged weights for validation, best-checkpoint
+    # gating, and serving (utils/checkpoint.unwrap_trainer_params prefers
+    # them); raw params remain the resume trajectory.
+    ema_decay: float = 0.0
     checkpoint_dir: str = "ckpt"
     log_dir: str = "logs"
     max_to_keep: int = 3

@@ -41,6 +41,10 @@ class TrainState:
     params: Any
     opt_state: Any
     step: int = 0
+    # exponential moving average of params (None unless cfg.ema_decay > 0).
+    # When present, validation / best-checkpoint gating / serving use THESE
+    # weights; ``params`` stays the raw optimizer trajectory for resume.
+    ema_params: Any = None
 
 
 def _augment_batch(key, lr, hr, mask):
@@ -99,6 +103,9 @@ class Trainer:
         else:
             raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
         self.tx = optax.flatten(optax.adam(lr))
+        if not 0.0 <= cfg.ema_decay < 1.0:
+            raise ValueError(f"ema_decay must be in [0, 1), got {cfg.ema_decay}")
+        self._ema = cfg.ema_decay > 0.0
         self.manager = CheckpointManager(cfg.checkpoint_dir, cfg.max_to_keep)
         self.state: TrainState | None = None
         self.log_rows: list[tuple] = []
@@ -142,6 +149,19 @@ class Trainer:
             psnr = jnp.sum(per_psnr * w) / jnp.sum(w)
             return params, opt_state, loss, psnr
 
+        ema_d = cfg.ema_decay
+
+        def train_fn_ema(params, opt_state, ema, lr_batch, hr_batch,
+                         mask_batch, w):
+            params, opt_state, loss, psnr = train_fn(
+                params, opt_state, lr_batch, hr_batch, mask_batch, w)
+            # on a non-finite batch ``params`` kept its old values (in-graph
+            # guard above), so the EMA moves toward the unchanged weights —
+            # a slight no-op pull, never toward poisoned ones
+            ema = jax.tree.map(
+                lambda e, p: ema_d * e + (1.0 - ema_d) * p, ema, params)
+            return params, opt_state, ema, loss, psnr
+
         def test_fn(params, lr_batch, hr_batch, mask_batch, w):
             sr = self.model.apply(params, lr_batch.astype(jnp.float32))
             per = self.loss_fn(hr_batch, sr, mask_batch, hr)
@@ -150,13 +170,17 @@ class Trainer:
             psnr = jnp.sum(per_psnr * w) / jnp.sum(w)
             return loss, psnr
 
+        # state args leading the step signature: params, opt_state[, ema]
+        n_state = 3 if self._ema else 2
+        step_fn = train_fn_ema if self._ema else train_fn
         if mesh is None:
             self._n_shard = 1
-            # donate params/opt_state: the updated trees alias the inputs'
+            # donate the state trees: the updated trees alias the inputs'
             # HBM instead of allocating fresh buffers every step (safe —
             # every caller reassigns from the return value, and the NaN
             # guard is in-graph)
-            self._train_step = jax.jit(train_fn, donate_argnums=(0, 1))
+            self._train_step = jax.jit(
+                step_fn, donate_argnums=tuple(range(n_state)))
             self._test_step = jax.jit(test_fn)
         else:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -166,10 +190,10 @@ class Trainer:
             bsh = NamedSharding(mesh, PartitionSpec(axis))
             self._n_shard = mesh.devices.size
             self._train_step = jax.jit(
-                train_fn,
-                in_shardings=((repl, repl) + (bsh,) * 4),
-                out_shardings=(repl, repl, repl, repl),
-                donate_argnums=(0, 1),
+                step_fn,
+                in_shardings=((repl,) * n_state + (bsh,) * 4),
+                out_shardings=(repl,) * (n_state + 2),
+                donate_argnums=tuple(range(n_state)),
             )
             self._test_step = jax.jit(
                 test_fn,
@@ -196,7 +220,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def init(self, sample_lr: np.ndarray, seed: int = 0) -> TrainState:
         params = self.model.init(jax.random.key(seed), jnp.asarray(sample_lr[:1], jnp.float32))
-        state = TrainState(params, self.tx.init(params), 0)
+        ema = None
+        if self._ema:
+            # distinct buffers, NOT aliases of params: both trees are donated
+            # to _train_step, and donating the same buffer twice is invalid
+            ema = jax.tree.map(lambda p: jnp.array(p, copy=True), params)
+        state = TrainState(params, self.tx.init(params), 0, ema)
         restored = self.restore(state)
         self.state = restored or state
         return self.state
@@ -205,34 +234,45 @@ class Trainer:
         latest = self.manager.latest_step()
         if latest is None:
             return None
+        tmpl = {"params": template.params, "opt_state": template.opt_state,
+                "step": 0, "psnr": 0.0}
+        if self._ema:
+            tmpl["ema_params"] = template.ema_params
         try:
-            tree = self.manager.restore(
-                {"params": template.params, "opt_state": template.opt_state,
-                 "step": 0, "psnr": 0.0},
-                step=latest,
-            )
+            tree = self.manager.restore(tmpl, step=latest)
             opt_state = tree["opt_state"]
         except (ValueError, KeyError):
-            # checkpoint written before the optax.flatten migration (per-leaf
-            # adam state): keep the trained params, restart optimizer moments.
-            # Restore templateless — orbax rejects a template that omits the
-            # on-disk 'opt_state' subtree, so a partial template cannot work.
+            # template/checkpoint layout mismatch (pre-flatten per-leaf adam
+            # state, or an ema_params subtree on exactly one side): keep the
+            # trained params, restart optimizer moments. Restore templateless
+            # — orbax rejects a template that omits an on-disk subtree, so a
+            # partial template cannot work.
             tree = self.manager.restore(step=latest)
             opt_state = template.opt_state
-            print("checkpoint has pre-flatten optimizer state; params "
-                  "restored, optimizer moments reset")
+            print("checkpoint layout differs from this config's template; "
+                  "params restored, optimizer moments reset")
+        ema = None
+        if self._ema:
+            # resuming an EMA run restores its EMA; enabling EMA on a non-EMA
+            # checkpoint seeds the average at the restored params
+            restored_ema = tree.get("ema_params")
+            ema = jax.tree.map(
+                lambda p: jnp.array(p, copy=True),
+                restored_ema if restored_ema is not None else tree["params"])
         print(f"Model restored from checkpoint at step {tree['step']}.")
-        return TrainState(tree["params"], opt_state, int(tree["step"]))
+        return TrainState(tree["params"], opt_state, int(tree["step"]), ema)
 
     def _save(self, psnr: float) -> bool:
+        tree = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "psnr": float(psnr),
+        }
+        if self._ema:
+            tree["ema_params"] = self.state.ema_params
         return self.manager.save(
-            self.state.step,
-            {
-                "params": self.state.params,
-                "opt_state": self.state.opt_state,
-                "step": self.state.step,
-                "psnr": float(psnr),
-            },
+            self.state.step, tree,
             metric=float(psnr),
             best_only=self.cfg.save_best_only,
         )
@@ -275,10 +315,17 @@ class Trainer:
                 if cfg.data_aug:
                     kaug, k = jax.random.split(kaug)
                     lr_b, hr_b, m_b = _augment_batch(k, lr_b, hr_b, m_b)
-                new_params, new_opt, loss, psnr = self._train_step(
-                    state.params, state.opt_state, lr_b, hr_b, m_b,
-                    jnp.asarray(w)
-                )
+                if self._ema:
+                    (new_params, new_opt, new_ema, loss, psnr) = self._train_step(
+                        state.params, state.opt_state, state.ema_params,
+                        lr_b, hr_b, m_b, jnp.asarray(w)
+                    )
+                    state.ema_params = new_ema
+                else:
+                    new_params, new_opt, loss, psnr = self._train_step(
+                        state.params, state.opt_state, lr_b, hr_b, m_b,
+                        jnp.asarray(w)
+                    )
                 # always adopt the returned trees (the inputs were donated);
                 # on a non-finite batch the step itself kept the old values
                 state.params, state.opt_state = new_params, new_opt
@@ -335,18 +382,23 @@ class Trainer:
                 f.write(",".join(str(x) for x in row) + "\n")
         self.log_rows.clear()
 
-    def evaluate(self, x_val, y_val, mask_val) -> float:
+    def evaluate(self, x_val, y_val, mask_val, params=None) -> float:
         """Sample-weighted val metrics over ALL samples (the ragged last
         batch included — a val set smaller than batch_size previously
         produced zero batches and a bogus 0.0 PSNR that poisoned best-only
-        checkpoint gating)."""
+        checkpoint gating). With EMA enabled the averaged weights are
+        evaluated (they are what the checkpoint serves); pass ``params``
+        to override."""
+        if params is None:
+            params = (self.state.ema_params
+                      if self._ema else self.state.params)
         losses, psnrs, weights = [], [], []
         bs = self.cfg.batch_size
         for i in range(0, len(x_val), bs):
             *batch, w = self._pad_shard(
                 x_val[i : i + bs], y_val[i : i + bs], mask_val[i : i + bs])
             loss, psnr = self._test_step(
-                self.state.params, *(jnp.asarray(a) for a in batch),
+                params, *(jnp.asarray(a) for a in batch),
                 jnp.asarray(w)
             )
             losses.append(float(loss))

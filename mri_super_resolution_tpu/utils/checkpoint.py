@@ -29,12 +29,15 @@ def save_pytree(path: str, tree: Any) -> None:
 
 
 def unwrap_trainer_params(tree: Any) -> Any:
-    """Return the params subtree whether ``tree`` is bare params or a full
-    Trainer checkpoint ``{step, psnr, params, opt_state}`` (fit/trainer.py).
-    The single source of truth for that layout — used by every CLI that
-    accepts either form (misr_master, export_model)."""
+    """Return the serving params whether ``tree`` is bare params or a full
+    Trainer checkpoint ``{step, psnr, params, opt_state[, ema_params]}``
+    (fit/trainer.py). An EMA run's serving weights ARE the averaged ones —
+    validation and best-checkpoint gating used them — so ``ema_params``
+    wins when present. The single source of truth for that layout — used by
+    every CLI that accepts either form (misr_master, export_model)."""
     if isinstance(tree, dict) and "params" in tree and "step" in tree:
-        return tree["params"]
+        ema = tree.get("ema_params")
+        return ema if ema is not None else tree["params"]
     return tree
 
 

@@ -66,11 +66,14 @@ def main():
     print(f"restored checkpoint step {tree['step']} "
           f"(recorded psnr {tree['psnr']:.4f} dB)", flush=True)
 
-    tr.state = TrainState(tree["params"], st.opt_state, int(tree["step"]))
+    # an EMA run's serving weights are the averaged ones (they are what the
+    # save-best gate scored); fit/trainer.py checkpoints them as 'ema_params'
+    serve_params = tree.get("ema_params") or tree["params"]
+    tr.state = TrainState(serve_params, st.opt_state, int(tree["step"]))
     val = float(tr.evaluate(Xv, Yv, Mv))
     print(f"restore+eval on held-out split: {val:.4f} dB", flush=True)
 
-    save_pytree(params_dir, tree["params"])
+    save_pytree(params_dir, serve_params)
     print(f"exported params to {params_dir}", flush=True)
     print(json.dumps({"step": int(tree["step"]), "val_cpsnr": val}))
 

@@ -223,3 +223,135 @@ class TestPatientSplit:
                                                holdout_patients=2)
         assert sorted(Xv.reshape(-1).tolist()) == [2.0, 3.0, 4.0, 5.0]
         assert sorted(Xt.reshape(-1).tolist()) == [0.0, 1.0]
+
+
+class TestEMA:
+    """cfg.ema_decay > 0: the trainer tracks ema = d*ema + (1-d)*params,
+    validates/saves the averaged weights, and checkpoints roundtrip them."""
+
+    def _cfg(self, tmp_path, tag, **kw):
+        return TrainerConfig(
+            batch_size=2, epochs=1, evaluate_every=2, hr_size=24,
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            log_dir=str(tmp_path / f"logs_{tag}"), **kw)
+
+    def test_ema_matches_closed_form(self, tiny_model, tmp_path, rng):
+        """Run the EMA trainer and a plain trainer over the SAME batch order;
+        the plain run's param trajectory folded through the EMA recursion
+        must reproduce the EMA run's ema_params exactly."""
+        import jax
+
+        x, y, m = _tiny_data(rng)
+        d = 0.5
+        tr_p = Trainer(tiny_model, self._cfg(tmp_path, "plain"))
+        tr_e = Trainer(tiny_model, self._cfg(tmp_path, "ema", ema_decay=d))
+        st_p = tr_p.init(x, seed=0)
+        st_e = tr_e.init(x, seed=0)
+        # same seed => identical init; fold the plain trajectory manually
+        expect = jax.tree.map(np.asarray, st_p.params)
+        tr_p.fit(x, (y, m), seed=3)
+        tr_e.fit(x, (y, m), seed=3)
+        # replay: re-init and step the plain trainer capturing params
+        tr_r = Trainer(tiny_model, self._cfg(tmp_path, "replay"))
+        st_r = tr_r.init(x, seed=0)
+        import jax.numpy as jnp
+        key = jax.random.key(3 + 1)
+        key, kperm, kaug = jax.random.split(key, 3)
+        for idx in tr_r._batches(len(x), kperm):
+            lr_b, hr_b, m_b, w = tr_r._pad_shard(x[idx], y[idx], m[idx])
+            st_r.params, st_r.opt_state, _, _ = tr_r._train_step(
+                st_r.params, st_r.opt_state, jnp.asarray(lr_b),
+                jnp.asarray(hr_b), jnp.asarray(m_b), jnp.asarray(w))
+            expect = jax.tree.map(
+                lambda e, p: d * e + (1 - d) * np.asarray(p),
+                expect, st_r.params)
+        for e_got, e_want in zip(
+            jax.tree.leaves(tr_e.state.ema_params), jax.tree.leaves(expect)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(e_got), e_want, rtol=2e-6, atol=2e-7)
+        # and the raw param trajectories agree (EMA never feeds back)
+        for p_got, p_want in zip(
+            jax.tree.leaves(tr_e.state.params), jax.tree.leaves(st_r.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(p_got), np.asarray(p_want), rtol=2e-6, atol=2e-7)
+
+    def test_checkpoint_roundtrip_and_unwrap(self, tiny_model, tmp_path, rng):
+        import jax
+
+        from mri_super_resolution_tpu.utils.checkpoint import (
+            unwrap_trainer_params,
+        )
+
+        x, y, m = _tiny_data(rng)
+        cfg = self._cfg(tmp_path, "rt", ema_decay=0.9)
+        tr = Trainer(tiny_model, cfg)
+        tr.init(x)
+        tr.fit(x, (y, m), validation_data=(x, y, m))
+        # fresh trainer restores ema_params
+        tr2 = Trainer(tiny_model, cfg)
+        st2 = tr2.init(x)
+        assert st2.ema_params is not None
+        for a, b in zip(jax.tree.leaves(st2.ema_params),
+                        jax.tree.leaves(tr.state.ema_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # EMA diverged from raw params after training
+        diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                 for a, b in zip(jax.tree.leaves(st2.ema_params),
+                                 jax.tree.leaves(st2.params))]
+        assert max(diffs) > 0
+        # unwrap prefers the averaged weights
+        tree = tr2.manager.restore(step=tr2.manager.latest_step())
+        served = unwrap_trainer_params(tree)
+        for a, b in zip(jax.tree.leaves(served),
+                        jax.tree.leaves(st2.ema_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_enable_ema_on_plain_checkpoint_seeds_from_params(
+            self, tiny_model, tmp_path, rng):
+        import jax
+
+        x, y, m = _tiny_data(rng)
+        cfg0 = self._cfg(tmp_path, "seed0")
+        tr = Trainer(tiny_model, cfg0)
+        tr.init(x)
+        tr.fit(x, (y, m), validation_data=(x, y, m))
+        cfg1 = TrainerConfig(**{**cfg0.__dict__, "ema_decay": 0.9})
+        tr2 = Trainer(tiny_model, cfg1)
+        st = tr2.init(x)
+        assert st.ema_params is not None
+        for a, b in zip(jax.tree.leaves(st.ema_params),
+                        jax.tree.leaves(st.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_bad_decay_rejected(self, tiny_model, tmp_path):
+        with pytest.raises(ValueError, match="ema_decay"):
+            Trainer(tiny_model, self._cfg(tmp_path, "bad", ema_decay=1.0))
+
+    def test_mesh_ema_parity_with_single_device(self, tiny_model, tmp_path, rng):
+        """EMA through the sharded step equals the single-device EMA."""
+        import jax
+        from jax.sharding import Mesh
+
+        x, y, m = _tiny_data(rng, n=8)
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        cfg = lambda tag: TrainerConfig(
+            batch_size=8, epochs=2, evaluate_every=100, hr_size=24,
+            ema_decay=0.8,
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            log_dir=str(tmp_path / f"logs_{tag}"))
+        tr1 = Trainer(tiny_model, cfg("one"))
+        trm = Trainer(tiny_model, cfg("mesh"), mesh=mesh)
+        tr1.init(x, seed=0)
+        trm.init(x, seed=0)
+        tr1.fit(x, (y, m), seed=5)
+        trm.fit(x, (y, m), seed=5)
+        # absolute bound at the Adam-step scale (see
+        # test_parity_with_unsharded): f32 reduction order across shards can
+        # flip near-zero gradient signs, moving a coordinate by ~lr per step;
+        # 4 steps at lr=1e-4 bounds the drift well under 1e-4
+        for a, b in zip(jax.tree.leaves(tr1.state.ema_params),
+                        jax.tree.leaves(trm.state.ema_params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=1e-4)
