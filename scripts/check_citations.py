@@ -42,6 +42,14 @@ BACKTICK_PATH = re.compile(
 )
 # reference citations inside source files: name.py:12 or name.py:12-34
 REF_CITE = re.compile(r"([A-Za-z0-9_./-]+\.(?:py|m|sh|ipynb)):(\d+)(?:-(\d+))?")
+# evidence paths cited WITHOUT backticks — e.g. "(A/B: results/x/y.json)".
+# Round 4 shipped a doc citing an evidence file that was never produced;
+# the backtick-only check missed it (VERDICT r4 Weak #2). Any
+# results/ logs/ artifacts/ path in a doc must exist, backticked or not.
+BARE_EVIDENCE = re.compile(
+    r"\b((?:results|logs|artifacts)/[A-Za-z0-9_./-]+\."
+    r"(?:json|jsonl|csv|md|log|png|txt|npz))\b"
+)
 
 SEARCH_PREFIXES = [
     "",
@@ -66,6 +74,42 @@ def resolve_repo_path(token: str) -> str | None:
         if os.path.isfile(cand):
             return cand
     return None
+
+
+def _all_doc_files() -> list[str]:
+    """Every tracked markdown doc: repo-root *.md plus docs/*.md."""
+    out = []
+    for d in ("", "docs"):
+        base = os.path.join(REPO, d) if d else REPO
+        if not os.path.isdir(base):
+            continue
+        for f in sorted(os.listdir(base)):
+            if f.endswith(".md"):
+                out.append(os.path.join(d, f) if d else f)
+    return out
+
+
+# judge/driver-authored or retrieved docs describe history (including the
+# very phantom-path incident this check exists to prevent) — not claims the
+# framework's own docs make
+EVIDENCE_EXEMPT = {"VERDICT.md", "ADVICE.md", "PAPERS.md", "SNIPPETS.md"}
+
+
+def check_bare_evidence_paths() -> list[str]:
+    failures = []
+    for doc in _all_doc_files():
+        if os.path.basename(doc) in EVIDENCE_EXEMPT:
+            continue
+        text = open(os.path.join(REPO, doc)).read()
+        for m in BARE_EVIDENCE.finditer(text):
+            token = m.group(1)
+            if "*" in token or "<" in token:
+                continue
+            if not os.path.isfile(os.path.join(REPO, token)):
+                failures.append(
+                    f"{doc}: evidence path {token} does not exist"
+                )
+    return failures
 
 
 def check_docs() -> list[str]:
@@ -160,7 +204,8 @@ def check_source_reference_citations() -> list[str]:
 
 
 def main() -> int:
-    failures = check_docs() + check_source_reference_citations()
+    failures = (check_docs() + check_bare_evidence_paths()
+                + check_source_reference_citations())
     if failures:
         print(f"{len(failures)} citation failures:")
         for f in failures:
