@@ -44,7 +44,11 @@ def _load_bigimage(path):
     return b0, b3
 
 
-def build_cases(limit=None, num_acq=9, data_dir=None):
+def build_cases(limit=None, num_acq=9, data_dir=None, acq_kwargs=None):
+    """Build ERD cases; ``acq_kwargs`` forwards extra knobs (noise_sigma_frac,
+    shift_sigma, outlier_prob) to the synthetic acquisition generator — used
+    by the round-5 corruption-regime sweep (scripts/round5_lowres_regime.py)
+    to match / unmatch the 3-D cohort's benign data regime."""
     data_dir = data_dir or os.environ.get("MRI_SR_DATA_DIR", "/root/reference/anon_data")
     cases = []
     for row in available_patients(data_dir)[:limit]:
@@ -74,7 +78,9 @@ def build_cases(limit=None, num_acq=9, data_dir=None):
         # scanner intensities (~0-400 here) would make loss < 2e-5
         # unreachable and run the pre-train to its 100k-step cap
         b0 = b0 / (float(b0.max()) + 1e-12)
-        b3 = synthetic.acquisitions_from_b0(b0, num_acq=num_acq, b=b[3], seed=int(pt_no))
+        b3 = synthetic.acquisitions_from_b0(
+            b0, num_acq=num_acq, b=b[3], seed=int(pt_no),
+            **(acq_kwargs or {}))
         cases.append(
             inr_erd.ERDCase(
                 pt_id=row["pt_id"],

@@ -88,6 +88,8 @@ def hybrid_from_b0(
     acq_counts=(1, 3, 5, 5),
     seed: int = 0,
     noise_sigma_frac: float = 0.02,
+    return_clean: bool = False,
+    dedup_te: bool = False,
 ) -> list[list[np.ndarray]]:
     """Synthesize the nested ``hybrid_raw[b][te]`` structure of master.mat
     (superresDWI.py:40-55): per (b, TE), a volume with ``acq_counts[b]``
@@ -97,6 +99,20 @@ def hybrid_from_b0(
 
     Signal model: S = b0 * exp(-b*ADC/1e3 [ADC in 1e-3 mm^2/s]) * exp(-TE/T2)
     with smooth ADC/T2 fields, plus Rician noise.
+
+    With ``return_clean=True`` returns ``(hybrid_raw, clean)`` where
+    ``clean[b][te]`` is the underlying noise-free, motion-free ``(H, W, S)``
+    signal volume — the exact zero-noise ground truth the split-acquisition
+    quality protocol's held-out mean approaches (up to the Rician noise
+    floor and the sub-pixel motion blur, which the round-5 ladder analysis
+    quantifies, results/round5_quality/).
+
+    ``dedup_te=True`` synthesizes only the TE0 entry per b and aliases the
+    remaining TE slots to the same array. The 3-D pipeline consumes only
+    ``hybrid_raw[b][0]`` (superres3d.run_patient / superresDWI.py:52-82 use
+    a fixed TE), so this is behaviorally identical there at 1/4 the
+    synthesis cost; do NOT use it for hybrid/PIA consumers that fit the TE
+    axis. The RNG stream differs from the default path.
     """
     rng = np.random.default_rng(seed)
     H, W, S = b0.shape
@@ -105,11 +121,18 @@ def hybrid_from_b0(
     sigma = noise_sigma_frac * np.percentile(b0, 99.5)
 
     out: list[list[np.ndarray]] = []
+    clean_out: list[list[np.ndarray]] = []
     for bi, b in enumerate(b_values):
         row: list[np.ndarray] = []
+        clean_row: list[np.ndarray] = []
         decay_b = np.exp(-b * adc / 1000.0)
         for te in te_values:
+            if dedup_te and len(row):
+                row.append(row[0])
+                clean_row.append(clean_row[0])
+                continue
             clean = b0 * decay_b * np.exp(-(te - te_values[0]) / t2)
+            clean_row.append(clean.astype(np.float32))
             if bi == 0:
                 re = clean + rng.normal(0.0, sigma, clean.shape)
                 im = rng.normal(0.0, sigma, clean.shape)
@@ -127,6 +150,9 @@ def hybrid_from_b0(
                     acqs[..., a] = np.sqrt(re**2 + im**2)
                 row.append(acqs)
         out.append(row)
+        clean_out.append(clean_row)
+    if return_clean:
+        return out, clean_out
     return out
 
 
