@@ -130,8 +130,19 @@ def add_preset_arg(parser, argv=None) -> None:
         [a for a in args if a not in ("--help", "-h")]
     )
     known = {a.dest for a in parser._actions}
-    parser.set_defaults(**{k: v for k, v in PRESETS[pre.preset].items()
-                           if k in known})
+    preset = PRESETS[pre.preset]
+    applied = {k: v for k, v in preset.items() if k in known}
+    dropped = sorted(set(preset) - set(applied))
+    if dropped:
+        # a CLI that lacks some preset dests would otherwise silently run a
+        # degraded configuration (e.g. cohort_run has no inr_model flag, so
+        # --preset quality used to fall back to a restart-only SIREN run)
+        print(
+            f"--preset {pre.preset}: applied {sorted(applied) or 'nothing'}; "
+            f"this CLI has no {dropped} flags, those keys are IGNORED",
+            file=sys.stderr,
+        )
+    parser.set_defaults(**applied)
 
 
 @dataclasses.dataclass

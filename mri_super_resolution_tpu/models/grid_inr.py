@@ -255,7 +255,15 @@ def _level_z_res(model: "GridINR") -> list[int]:
 
 
 def z_bucket_for(nz: int) -> int:
-    """Power-of-two bucket for a slice count (min 4)."""
+    """Power-of-two bucket for a slice count (min 4).
+
+    Trade-off (deliberate): a volume with nz just above a boundary (e.g. 33
+    slices -> bucket 64) pays up to ~2x the z compute on every step and
+    inference forever, in exchange for a bounded executable population
+    (one compile per power of two). The cohorts seen so far are nz<=32
+    (<=2% padding waste at 31-32 slices), so the pow2 scheme stands; if
+    large-nz cohorts appear, coarsen to round-up-to-multiple-of-8 and eat
+    the extra compiles (ADVICE r4)."""
     return max(4, 1 << (int(nz) - 1).bit_length())
 
 

@@ -68,7 +68,8 @@ def main():
 
     # an EMA run's serving weights are the averaged ones (they are what the
     # save-best gate scored); fit/trainer.py checkpoints them as 'ema_params'
-    serve_params = tree.get("ema_params") or tree["params"]
+    ema = tree.get("ema_params")
+    serve_params = ema if ema is not None else tree["params"]
     tr.state = TrainState(serve_params, st.opt_state, int(tree["step"]))
     val = float(tr.evaluate(Xv, Yv, Mv))
     print(f"restore+eval on held-out split: {val:.4f} dB", flush=True)
