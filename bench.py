@@ -310,7 +310,8 @@ def measure_serving(quick: bool = False) -> list:
         served = serve.load(d)
         load_s = _time.perf_counter() - t0
         x = make_batch()
-        sec = time_jitted(lambda: served(x), repeats=3, warmup=1)
+        xs = x if isinstance(x, tuple) else (x,)
+        sec = time_jitted(lambda: served(*xs), repeats=3, warmup=1)
         rows.append({
             "metric": f"serving_{name}_eval_ms",
             "value": round(sec * 1e3, 2),
@@ -331,6 +332,22 @@ def measure_serving(quick: bool = False) -> list:
         lambda d: serve.export_inr(inr.apply, inr_params, 4, d, fourier_B=B),
         lambda: coords,
         f"{n} coords",
+    )
+
+    # GridINR: the quality preset's model serving the 2x recon grid of the
+    # flagship ROI (separable tensor-product artifact, all axes symbolic)
+    from mri_super_resolution_tpu.models import GridINR
+
+    grid = GridINR(z_divisor=1)
+    grid_params = grid.init(jax.random.key(3), jnp.zeros((1, 4)))
+    gx = 48 if quick else 100
+    gz = 8 if quick else 28
+    gaxes = tuple(jnp.linspace(-1.0, 1.0, nn) for nn in (gx, gx, gz))
+    bench_one(
+        "grid",
+        lambda d: serve.export_grid_inr(grid, grid_params, d),
+        lambda: gaxes,
+        f"{gx}x{gx}x{gz}x4 recon grid",
     )
 
     # RAMS: the 25-draw case ensemble as one batch

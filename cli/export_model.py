@@ -98,6 +98,21 @@ def main(argv=None):
                     "live 28.153). Tighten when checking a fresh export "
                     "against a known-good error class.")
 
+    pg = sub.add_parser(
+        "grid", help="GridINR artifact: (x,y,z) axis-coordinate vectors -> "
+        "(nx, ny, nz, nb, out) dense volume; all axis lengths symbolic")
+    pg.add_argument("--params", required=True,
+                    help="orbax pytree dir of fitted GridINR params")
+    pg.add_argument("--levels", type=int, default=4)
+    pg.add_argument("--base_resolution", type=int, default=8)
+    pg.add_argument("--features", type=int, default=4)
+    pg.add_argument("--hidden", type=int, default=64)
+    pg.add_argument("--z_divisor", type=int, default=1,
+                    help="1 matches the quality preset / superres3d ROI fits")
+    pg.add_argument("--out", required=True)
+    pg.add_argument("--platforms", nargs="*", default=None)
+    pg.add_argument("--check", action="store_true")
+
     pp = sub.add_parser(
         "pia", help="PIA tissue-fitter artifact: signals (n, S) -> (D, T2, v)")
     pp.add_argument("--params", required=True,
@@ -142,6 +157,42 @@ def main(argv=None):
                 jax.random.key(0), (257, args.coord_dim), minval=-1.0)
             _check(args.out,
                    lambda c: model.apply(params, fourier_encode(c, B)), coords)
+    elif args.kind == "grid":
+        from mri_super_resolution_tpu.models import GridINR
+        from mri_super_resolution_tpu.models.grid_inr import (
+            infer_tensor_grid_zbucket,
+        )
+
+        model = GridINR(
+            num_levels=args.levels,
+            base_resolution=args.base_resolution,
+            features_per_level=args.features,
+            hidden=args.hidden,
+            z_divisor=args.z_divisor,
+        )
+        params = restore_pytree(os.path.abspath(args.params))
+        manifest = serve.export_grid_inr(
+            model, params, args.out, platforms=args.platforms,
+            model_desc=(f"grid_inr L{args.levels} R{args.base_resolution}"
+                        f" F{args.features} h{args.hidden}"
+                        f" zdiv{args.z_divisor}"),
+        )
+        print(f"exported {manifest['kind']} artifact -> {args.out} "
+              f"(platforms {manifest['platforms']})")
+        if args.check:
+            shape = (50, 50, 13, model.num_b)
+            served = serve.load(args.out)
+            axes = [jnp.linspace(-1.0, 1.0, n) for n in shape[:3]]
+            got = np.asarray(served(*axes)).reshape(-1, 1)
+            want = np.asarray(infer_tensor_grid_zbucket(
+                model, params, shape, clamp_min=0.0))
+            scale = max(float(np.max(np.abs(want))), 1e-12)
+            err = float(np.max(np.abs(got - want))) / scale
+            status = "OK" if err <= 1e-4 else "MISMATCH"
+            print(f"roundtrip check vs live z-bucketed tensor inference "
+                  f"({shape}): max rel err {err:.2e} [{status}]")
+            if status != "OK":
+                raise SystemExit(1)
     elif args.kind == "pia":
         from mri_super_resolution_tpu.models.pia import PIA
 

@@ -583,10 +583,26 @@ def run(
             from mri_super_resolution_tpu import serve
 
             if cfg.inr_model == "grid":
-                inr = _grid_model(cfg)
-                export_B = None
-                desc = (f"sr3d pat{pt_id}: grid_inr L{cfg.grid_levels}"
-                        f" R{cfg.grid_base_resolution} h{cfg.grid_hidden}")
+                # separable tensor-product artifact: all three axes symbolic
+                # (axis-coordinate vectors in), so the one artifact serves
+                # the LR, HR, and 2x recon grids — the pointwise
+                # export_inr path would serve gathers, which is the
+                # TPU-hostile formulation (models/grid_inr.py round-1 note)
+                serve.export_grid_inr(
+                    _grid_model(cfg), result.inr_params,
+                    os.path.join(pdir, "artifact"),
+                    model_desc=(
+                        f"sr3d pat{pt_id}: grid_inr L{cfg.grid_levels}"
+                        f" R{cfg.grid_base_resolution} h{cfg.grid_hidden};"
+                        " output is the (b, te0)-normalized volume —"
+                        " de-normalize with manifest['maxes'][b][te]"
+                    ),
+                    extra_manifest={
+                        "maxes": np.asarray(result.maxes).tolist(),
+                        "bvalues": np.asarray(result.bvalues).tolist(),
+                    },
+                )
+                inr = None
             elif cfg.inr_model == "wire":
                 inr = _wire_model(cfg)
                 export_B = None
@@ -598,21 +614,22 @@ def run(
                 export_B = result.B
                 desc = (f"sr3d pat{pt_id}: siren {cfg.hidden_dim}x"
                         f"{cfg.num_layers} FF{cfg.mapping_size}")
-            serve.export_inr(
-                inr.apply, result.inr_params, coord_dim=4,
-                out_dir=os.path.join(pdir, "artifact"),
-                fourier_B=export_B,
-                model_desc=(
-                    f"{desc}; output is the (b, te0)-normalized"
-                    f" volume — de-normalize with manifest['maxes'][b][te]"
-                ),
-                extra_manifest={
-                    # the per-(b, TE) normalization scales, so the artifact is
-                    # actually self-contained: physical = output * maxes[b][te]
-                    "maxes": np.asarray(result.maxes).tolist(),
-                    "bvalues": np.asarray(result.bvalues).tolist(),
-                },
-            )
+            if inr is not None:
+                serve.export_inr(
+                    inr.apply, result.inr_params, coord_dim=4,
+                    out_dir=os.path.join(pdir, "artifact"),
+                    fourier_B=export_B,
+                    model_desc=(
+                        f"{desc}; output is the (b, te0)-normalized"
+                        f" volume — de-normalize with manifest['maxes'][b][te]"
+                    ),
+                    extra_manifest={
+                        # per-(b, TE) normalization scales, so the artifact is
+                        # self-contained: physical = output * maxes[b][te]
+                        "maxes": np.asarray(result.maxes).tolist(),
+                        "bvalues": np.asarray(result.bvalues).tolist(),
+                    },
+                )
     if export_npz:
         export_triplets(results, cfg, os.path.join(out_dir, "zero_shot_dwi.npz"))
     # per-patient end-to-end phase breakdown (the reference's headline

@@ -221,6 +221,104 @@ def export_pia(
     )
 
 
+def export_grid_inr(
+    model: Any,
+    params: Any,
+    out_dir: str,
+    *,
+    nb: int | None = None,
+    clamp_min: float | None = 0.0,
+    platforms: Sequence[str] | None = None,
+    model_desc: str = "",
+    extra_manifest: dict | None = None,
+) -> dict:
+    """Export a fitted GridINR as ``(x, y, z) axis coordinates ->
+    (nx, ny, nz, nb, out)`` via the separable tensor-product path.
+
+    ALL THREE spatial axes are symbolic: the consumer passes per-axis
+    coordinate vectors in [-1, 1] (each any length, any spacing — mgrid
+    planes of any density, the 2x in-plane SR grid, arbitrary continuous
+    z supersampling), and the module builds the per-axis interpolation
+    matrices in-graph. One artifact therefore serves the LR grid, the HR
+    grid, AND the 2x recon grid of the 3-D pipeline — every density, zero
+    recompiles, zero padding waste. This is the serving analog of the fit
+    path's z-bucketing (models/grid_inr.py), strictly better here because
+    export fixes the executable once; it is only possible because the
+    evaluation is separable (per-point INRs like SIREN/WIRE export with a
+    flat symbolic coord batch instead, :func:`export_inr`).
+
+    This is the dense-grid inference of the reference's 3-D pipeline
+    (superresDWI.py:161-162) as a deployment object — the ``quality``
+    preset's model becomes servable without this repo's code.
+    """
+    from .models.grid_inr import _level_z_res, _mlp_head
+
+    nb = int(nb if nb is not None else model.num_b)
+    p = jax.tree_util.tree_map(jnp.asarray, params["params"])
+    z_res = _level_z_res(model)
+
+    def _axis_mat(c, R):
+        """(n, R) linear-interp matrix from [-1,1] coords, same floor/clip
+        convention as grid_inr._axis_weights."""
+        c01 = jnp.clip((c + 1.0) * 0.5, 0.0, 1.0)
+        pos = c01 * (R - 1)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, R - 2)
+        frac = (pos - lo).astype(c01.dtype)
+        return (
+            jax.nn.one_hot(lo, R, dtype=c01.dtype) * (1.0 - frac)[:, None]
+            + jax.nn.one_hot(lo + 1, R, dtype=c01.dtype) * frac[:, None]
+        )
+
+    def infer(x_coords, y_coords, z_coords):
+        nx, ny, nz = x_coords.shape[0], y_coords.shape[0], z_coords.shape[0]
+        feats = []
+        for l in range(model.num_levels):
+            g = p[f"grid_{l}"]  # (Rx, Ry, Rz, F)
+            t = jnp.einsum("xa,abcf->xbcf", _axis_mat(x_coords, g.shape[0]), g)
+            t = jnp.einsum("yb,xbcf->xycf", _axis_mat(y_coords, g.shape[1]), t)
+            t = jnp.einsum("zc,xycf->xyzf", _axis_mat(z_coords, z_res[l]), t)
+            feats.append(t)
+        xyz = jnp.concatenate(feats, axis=-1)  # (nx, ny, nz, L*F)
+        b_pos = jnp.clip(
+            jnp.round(jnp.linspace(0.0, 1.0, nb)
+                      * (model.num_b - 1)).astype(jnp.int32),
+            0, model.num_b - 1)
+        b_feat = p["b_embedding"][b_pos]  # (nb, bF)
+        lf = xyz.shape[-1]
+        h = jnp.concatenate(
+            [
+                jnp.broadcast_to(xyz[:, :, :, None, :], (nx, ny, nz, nb, lf)),
+                jnp.broadcast_to(b_feat[None, None, None],
+                                 (nx, ny, nz, nb, b_feat.shape[-1])),
+            ],
+            axis=-1,
+        ).reshape(nx * ny * nz * nb, lf + b_feat.shape[-1])
+        out = _mlp_head(p, h)
+        if clamp_min is not None:
+            out = jnp.clip(out, clamp_min, None)
+        return out.reshape(nx, ny, nz, nb, -1)
+
+    nx, ny, nz = jax_export.symbolic_shape("nx, ny, nz")
+    specs = [jax.ShapeDtypeStruct((d,), jnp.float32) for d in (nx, ny, nz)]
+    manifest = {
+        "nb": nb,
+        "clamp_min": clamp_min,
+        "input": "three axis-coordinate vectors (nx,), (ny,), (nz,) in "
+                 "[-1, 1]; all lengths symbolic",
+        "model": model_desc,
+    }
+    if extra_manifest:
+        manifest.update(extra_manifest)
+    return export_fn(
+        infer,
+        specs,
+        out_dir,
+        kind="grid_inr",
+        platforms=platforms,
+        extra_manifest=manifest,
+    )
+
+
 @dataclass
 class Served:
     """A loaded artifact: ``call`` runs the deserialized module under jit."""

@@ -127,6 +127,39 @@ def test_export_model_end_to_end(tmp_path):
     assert (tmp_path / "artifact" / "module.jaxexport").exists()
 
 
+def test_export_model_grid_end_to_end(tmp_path):
+    """save_pytree GridINR params -> export_model grid CLI -> --check passes
+    (roundtrip vs the live z-bucketed tensor inference)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mri_super_resolution_tpu.models import GridINR
+    from mri_super_resolution_tpu.utils import save_pytree
+
+    model = GridINR(num_levels=2, base_resolution=4, features_per_level=2,
+                    hidden=8, z_divisor=1)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 4)))
+    params_dir = tmp_path / "params"
+    save_pytree(str(params_dir), params)
+
+    mod = importlib.import_module("cli.export_model")
+    mod.main(
+        [
+            "grid",
+            "--params", str(params_dir),
+            "--levels", "2",
+            "--base_resolution", "4",
+            "--features", "2",
+            "--hidden", "8",
+            "--z_divisor", "1",
+            "--out", str(tmp_path / "artifact"),
+            "--platforms", "cpu",
+            "--check",
+        ]
+    )
+    assert (tmp_path / "artifact" / "module.jaxexport").exists()
+
+
 def test_inr_toy_end_to_end(tmp_path):
     """Tiny synthetic fit: one scan chunk, early-stop check, orbax save."""
     mod = importlib.import_module("cli.inr_toy")

@@ -69,6 +69,69 @@ class TestINRArtifact:
         )
 
 
+class TestGridINRArtifact:
+    def test_roundtrip_matches_tensor_and_pointwise_paths(self, tmp_path):
+        from mri_super_resolution_tpu.core.coords import mgrid
+        from mri_super_resolution_tpu.models import GridINR
+        from mri_super_resolution_tpu.models.grid_inr import (
+            infer_tensor_grid_zbucket,
+        )
+
+        model = GridINR(num_levels=2, base_resolution=4, features_per_level=2,
+                        hidden=8, z_divisor=1)
+        nx, ny, nb = 6, 5, 4
+        params = model.init(jax.random.key(0), jnp.zeros((1, 4)))
+
+        out = str(tmp_path / "grid")
+        manifest = serve.export_grid_inr(
+            model, params, out, platforms=("cpu",), model_desc="grid 2x4x2")
+        assert manifest["kind"] == "grid_inr"
+        assert manifest["nb"] == nb
+
+        served = serve.load(out)
+        x = jnp.linspace(-1.0, 1.0, nx)
+        y = jnp.linspace(-1.0, 1.0, ny)
+        for nz in (3, 11):  # symbolic slice axis actually works
+            z = jnp.linspace(-1.0, 1.0, nz)
+            got = np.asarray(served(x, y, z))
+            assert got.shape == (nx, ny, nz, nb, 1)
+            # vs the pipeline's z-bucketed tensor inference (mgrid z planes)
+            want = np.asarray(infer_tensor_grid_zbucket(
+                model, params, (nx, ny, nz, nb), clamp_min=0.0,
+            )).reshape(nx, ny, nz, nb, 1)
+            np.testing.assert_allclose(got, want, atol=1e-6)
+            # vs the pointwise flax apply on the same mgrid (ground truth)
+            coords = mgrid((nx, ny, nz, nb))
+            pw = np.clip(
+                np.asarray(model.apply(params, coords)), 0.0, None
+            ).reshape(nx, ny, nz, nb, 1)
+            np.testing.assert_allclose(got, pw, atol=1e-5)
+
+    def test_all_axes_symbolic_serves_lr_hr_and_2x_grids(self, tmp_path):
+        """ONE artifact serves every grid density — the LR fit grid, the HR
+        grid, and the 2x-in-plane recon grid of the reference's dense HR
+        inference (superresDWI.py:161-162) — without re-export."""
+        from mri_super_resolution_tpu.models import GridINR
+        from mri_super_resolution_tpu.models.grid_inr import (
+            grid_inr_tensor_apply,
+        )
+
+        model = GridINR(num_levels=2, base_resolution=4, features_per_level=2,
+                        hidden=8, z_divisor=1)
+        params = model.init(jax.random.key(0), jnp.zeros((1, 4)))
+        out = str(tmp_path / "grid")
+        serve.export_grid_inr(model, params, out,
+                              platforms=("cpu",), clamp_min=None)
+        served = serve.load(out)
+        for shape in ((4, 4, 7, 4), (8, 8, 7, 4), (8, 6, 14, 4)):
+            axes = [jnp.linspace(-1.0, 1.0, n) for n in shape[:3]]
+            got = np.asarray(served(*axes))
+            want = np.asarray(
+                grid_inr_tensor_apply(model, params, shape)
+            ).reshape(*shape, 1)
+            np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 class TestRAMSArtifact:
     def test_roundtrip_matches_live_apply(self, tmp_path):
         model = RAMS(filters=4, N=1, r=2, channels=9)

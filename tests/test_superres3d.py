@@ -167,11 +167,12 @@ class TestGridModelOption:
         assert np.isfinite(cor).all()
 
     def test_grid_export_serving_artifact(self, tiny_setup, tmp_path):
-        """--export_artifact with inr_model='grid': the artifact consumes raw
-        coords (no Fourier matrix baked in) and matches the gather apply."""
+        """--export_artifact with inr_model='grid': the separable
+        tensor-product artifact (serve.export_grid_inr, all axes symbolic)
+        reproduces the pipeline's own 2x recon grid."""
         import dataclasses
 
-        import jax
+        import jax.numpy as jnp
 
         from mri_super_resolution_tpu import serve
 
@@ -184,16 +185,20 @@ class TestGridModelOption:
             export_artifact=True,
         )
         served = serve.load(os.path.join(out, "pat43", "artifact"))
-        assert served.manifest["kind"] == "inr"
-        assert served.manifest["coord_dim"] == 4
-        assert served.manifest["fourier_features"] is None
-        coords = jax.random.uniform(jax.random.key(3), (17, 4), minval=-1.0)
-        got = np.asarray(served(coords))
-        assert got.shape == (17, 1)
+        assert served.manifest["kind"] == "grid_inr"
+        assert "maxes" in served.manifest
         result = superres3d.run_patient(hybrid, bvalues, cfg_g, seed=0, pt_id=43)
-        inr = superres3d._grid_model(cfg_g)
-        want = np.asarray(inr.apply(result.inr_params, coords))
-        np.testing.assert_allclose(got, want, atol=1e-5)
+        # the artifact at the 2x recon density reproduces recon_2x
+        # (clamp_min=0 matches the pipeline's clamped dense inference)
+        sx, sy, S, nb = result.sr_hr_grid.shape
+        axes = [jnp.linspace(-1.0, 1.0, n) for n in (2 * sx, 2 * sy, S)]
+        got = np.asarray(served(*axes))[..., 0]
+        assert got.shape == result.recon_2x.shape
+        np.testing.assert_allclose(got, result.recon_2x, atol=1e-4)
+        # and the HR grid too — same artifact, different density
+        axes_hr = [jnp.linspace(-1.0, 1.0, n) for n in (sx, sy, S)]
+        got_hr = np.asarray(served(*axes_hr))[..., 0]
+        np.testing.assert_allclose(got_hr, result.sr_hr_grid, atol=1e-4)
 
     def test_tensor_vag_matches_gather_loss(self, tiny_setup):
         """make_tensor_value_and_grad's loss equals the gather-path MSE on the
