@@ -88,6 +88,7 @@ def hybrid_from_b0(
     acq_counts=(1, 3, 5, 5),
     seed: int = 0,
     noise_sigma_frac: float = 0.02,
+    shift_sigma: float = 0.4,
     return_clean: bool = False,
     dedup_te: bool = False,
 ) -> list[list[np.ndarray]]:
@@ -140,11 +141,19 @@ def hybrid_from_b0(
             else:
                 acqs = np.empty((H, W, S, acq_counts[bi]), dtype=np.float32)
                 for a in range(acq_counts[bi]):
-                    dx, dy = rng.normal(0.0, 0.4, size=2)
-                    moved = np.stack(
-                        [_subpixel_shift2d(clean[:, :, s], dx, dy) for s in range(S)],
-                        axis=-1,
-                    )
+                    # draw shift even at sigma=0 so the RNG stream (and thus
+                    # every downstream noise draw) is identical across
+                    # shift_sigma values — the round-5 zero-motion causal arm
+                    # must differ from the default ONLY in the motion
+                    dx, dy = rng.normal(0.0, shift_sigma, size=2)
+                    if shift_sigma > 0.0:
+                        moved = np.stack(
+                            [_subpixel_shift2d(clean[:, :, s], dx, dy)
+                             for s in range(S)],
+                            axis=-1,
+                        )
+                    else:
+                        moved = clean
                     re = moved + rng.normal(0.0, sigma, moved.shape)
                     im = rng.normal(0.0, sigma, moved.shape)
                     acqs[..., a] = np.sqrt(re**2 + im**2)

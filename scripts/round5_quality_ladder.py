@@ -58,6 +58,12 @@ def main():
     ap.add_argument("--patients", type=int, default=10)
     ap.add_argument("--acq_input", type=int, default=3)
     ap.add_argument("--rungs", type=int, nargs="*", default=[3, 9, 18, 36])
+    ap.add_argument("--shift_sigma", type=float, default=None,
+                    help="override the generator's per-acquisition motion "
+                    "(default: hybrid_from_b0's 0.4 px). 0.0 is the causal "
+                    "test of the blur mechanism: if the held-out-mean GT's "
+                    "spline preference comes from motion blur, it must "
+                    "vanish here and every rung must match the clean rung")
     ap.add_argument("--out", default="results/round5_quality/ladder.json")
     args = ap.parse_args()
 
@@ -123,9 +129,12 @@ def main():
         b0 = np.asarray(load_mat(
             os.path.join(data_dir, f"pat{pt_no}_mean_b0.mat"),
             "data_mean_b0", prefer_native=True), dtype=np.float32)
+        gen_kw = {}
+        if args.shift_sigma is not None:
+            gen_kw["shift_sigma"] = args.shift_sigma
         full, clean = synthetic.hybrid_from_b0(
             b0, b_values=b_values, acq_counts=(1, n_tot, n_tot, n_tot),
-            seed=int(pt_no), return_clean=True, dedup_te=True)
+            seed=int(pt_no), return_clean=True, dedup_te=True, **gen_kw)
         inp = [[None] * 4 for _ in range(4)]
         inp_clean = [[None] * 4 for _ in range(4)]
         for b in range(4):
@@ -222,6 +231,7 @@ def main():
                     "clean signal; plus oracle clean-input arms",
         "platform": jax.devices()[0].platform,
         "patients": len(rows),
+        "shift_sigma": args.shift_sigma,
         "rungs": {rn: {a: rung_summary(table[rn][a]) for a in arms}
                   for rn in rung_names},
         "oracle_clean_input_vs_clean_gt": {
