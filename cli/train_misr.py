@@ -114,6 +114,12 @@ def main(argv=None):
                    help="cosine decays lr -> 0 over the run: a single-run "
                    "stand-in for the reference's manual lr-decayed "
                    "continuation runs")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="gradient accumulation: optimizer steps see an "
+                   "effective batch of batch_size*grad_accum without the "
+                   "single-shot VMEM cliff (B=128 one-shot costs 338 ms/"
+                   "step, results/round4_rams/batch_sweep_hi.json); "
+                   "k micro-batches are exactly one big-batch step")
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="exponential-moving-average of weights (0 = off, the "
                    "reference behaviour); when > 0 validation and the saved "
@@ -149,7 +155,9 @@ def main(argv=None):
           f"LR {Xt.shape[1:]} HR {Yt.shape[1:]}")
 
     model = build_rams(RAMSConfig(filters=args.filters, N=args.N))
-    steps_per_epoch = -(-len(Xt) // args.batch_size)
+    # optimizer steps per epoch: micro-batches collapse by grad_accum
+    micro_per_epoch = -(-len(Xt) // args.batch_size)
+    steps_per_epoch = -(-micro_per_epoch // args.grad_accum)
     # cosine resume correctness: Trainer.init auto-restores the checkpoint
     # INCLUDING the schedule's step count, so a resumed run whose decay_steps
     # counted from 0 would spend its whole budget past the cosine's end at
@@ -168,6 +176,7 @@ def main(argv=None):
         evaluate_every=args.evaluate_every, checkpoint_dir=os.path.abspath(args.ckpt_dir),
         data_aug=args.data_aug, learning_rate=args.learning_rate,
         lr_schedule=args.lr_schedule, ema_decay=args.ema_decay,
+        grad_accum=args.grad_accum,
         decay_steps=restored_step + args.epochs * steps_per_epoch,
     )
     mesh = None

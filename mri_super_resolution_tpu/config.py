@@ -212,6 +212,13 @@ class TrainerConfig:
     # gating, and serving (utils/checkpoint.unwrap_trainer_params prefers
     # them); raw params remain the resume trajectory.
     ema_decay: float = 0.0
+    # gradient accumulation: optimizer steps see an effective batch of
+    # batch_size * grad_accum without the VMEM footprint of the big batch —
+    # the B=128 single-shot step hits a memory cliff (338 ms/step,
+    # results/round4_rams/batch_sweep_hi.json) that 2x64 accumulation
+    # avoids. Weighted-sum accumulation makes k micro-batches EXACTLY one
+    # big-batch step (ragged/padded samples included).
+    grad_accum: int = 1
     checkpoint_dir: str = "ckpt"
     log_dir: str = "logs"
     max_to_keep: int = 3

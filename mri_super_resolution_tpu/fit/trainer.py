@@ -170,9 +170,56 @@ class Trainer:
             psnr = jnp.sum(per_psnr * w) / jnp.sum(w)
             return loss, psnr
 
+        # ---- gradient accumulation (cfg.grad_accum > 1) ----------------
+        # Micro-batches contribute WEIGHTED SUMS (sum(per*w) and its grad,
+        # sum(w)); the apply step divides once. That makes k accumulated
+        # micro-batches bit-equivalent in expectation to one optimizer step
+        # on the concatenated batch — including ragged tails, whose padded
+        # samples carry w=0 (reference semantics: one tf.function step per
+        # batch, utils/training.py:131-156; accumulation is the TPU-native
+        # route to effective batches past the single-shot VMEM cliff).
+        def micro_fn(params, lr_batch, hr_batch, mask_batch, w):
+            def loss_of(p):
+                sr = self.model.apply(p, lr_batch.astype(jnp.float32))
+                per = self.loss_fn(hr_batch, sr, mask_batch, hr)
+                return jnp.sum(per * w), sr
+
+            (loss_sum, sr), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(params)
+            per_psnr = self.metric_fn(hr_batch, sr, mask_batch, hr,
+                                      reduce=False)
+            return grads, loss_sum, jnp.sum(per_psnr * w), jnp.sum(w)
+
+        def accum_fn(acc, delta):
+            return jax.tree.map(jnp.add, acc, delta)
+
+        def apply_fn(params, opt_state, grads_sum, loss_sum, psnr_sum, wsum):
+            grads = jax.tree.map(lambda g: g / wsum, grads_sum)
+            loss = loss_sum / wsum
+            updates, new_opt = self.tx.update(grads, opt_state)
+            new_params = optax.apply_updates(params, updates)
+            # same in-graph non-finite guard as the fused step: one poisoned
+            # micro-batch poisons the accumulated sums, so the whole
+            # effective step is skipped
+            ok = jnp.isfinite(loss)
+            keep = lambda old, new: jax.tree.map(
+                lambda a, b: jnp.where(ok, b, a), old, new)
+            return (keep(params, new_params), keep(opt_state, new_opt),
+                    loss, psnr_sum / wsum)
+
+        def apply_fn_ema(params, opt_state, ema, grads_sum, loss_sum,
+                         psnr_sum, wsum):
+            params, opt_state, loss, psnr = apply_fn(
+                params, opt_state, grads_sum, loss_sum, psnr_sum, wsum)
+            ema = jax.tree.map(
+                lambda e, p: ema_d * e + (1.0 - ema_d) * p, ema, params)
+            return params, opt_state, ema, loss, psnr
+
         # state args leading the step signature: params, opt_state[, ema]
         n_state = 3 if self._ema else 2
         step_fn = train_fn_ema if self._ema else train_fn
+        apply_step = apply_fn_ema if self._ema else apply_fn
+        self._accum = max(1, int(cfg.grad_accum))
         if mesh is None:
             self._n_shard = 1
             # donate the state trees: the updated trees alias the inputs'
@@ -182,6 +229,15 @@ class Trainer:
             self._train_step = jax.jit(
                 step_fn, donate_argnums=tuple(range(n_state)))
             self._test_step = jax.jit(test_fn)
+            if self._accum > 1:
+                self._micro_step = jax.jit(micro_fn)
+                # accumulator tree is donated: accumulation is in-place HBM
+                self._accum_step = jax.jit(accum_fn, donate_argnums=(0,))
+                # grads_sum is NOT donated: optax.flatten consumes it in a
+                # different (concatenated) layout, so donation would only
+                # emit "unusable donated buffer" warnings
+                self._apply_step = jax.jit(
+                    apply_step, donate_argnums=tuple(range(n_state)))
         else:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -200,6 +256,21 @@ class Trainer:
                 in_shardings=((repl,) + (bsh,) * 4),
                 out_shardings=(repl, repl),
             )
+            if self._accum > 1:
+                self._micro_step = jax.jit(
+                    micro_fn,
+                    in_shardings=((repl,) + (bsh,) * 4),
+                    out_shardings=(repl, repl, repl, repl),
+                )
+                self._accum_step = jax.jit(
+                    accum_fn, donate_argnums=(0,),
+                    out_shardings=(repl, repl, repl, repl))
+                self._apply_step = jax.jit(
+                    apply_step,
+                    in_shardings=(repl,) * (n_state + 4),
+                    out_shardings=(repl,) * (n_state + 2),
+                    donate_argnums=tuple(range(n_state)),
+                )
 
     def _pad_shard(self, *arrays):
         """Pad a ragged batch to a device-count multiple; returns the padded
@@ -302,30 +373,62 @@ class Trainer:
         state = self.state or self.init(x, seed)
         key = jax.random.key(seed + 1)
 
+        accum = self._accum
+
+        def device_batch(idx, kaug):
+            lr_np, hr_np, m_np, w = self._pad_shard(
+                x[idx], hr_imgs[idx], hr_masks[idx])
+            lr_b = jnp.asarray(lr_np)
+            hr_b = jnp.asarray(hr_np)
+            m_b = jnp.asarray(m_np)
+            if cfg.data_aug:
+                kaug, k = jax.random.split(kaug)
+                lr_b, hr_b, m_b = _augment_batch(k, lr_b, hr_b, m_b)
+            return lr_b, hr_b, m_b, jnp.asarray(w), kaug
+
         for epoch in range(epochs):
             key, kperm, kaug = jax.random.split(key, 3)
             train_loss = []
             train_psnr = []
-            for idx in self._batches(len(x), kperm):
-                lr_np, hr_np, m_np, w = self._pad_shard(
-                    x[idx], hr_imgs[idx], hr_masks[idx])
-                lr_b = jnp.asarray(lr_np)
-                hr_b = jnp.asarray(hr_np)
-                m_b = jnp.asarray(m_np)
-                if cfg.data_aug:
-                    kaug, k = jax.random.split(kaug)
-                    lr_b, hr_b, m_b = _augment_batch(k, lr_b, hr_b, m_b)
-                if self._ema:
-                    (new_params, new_opt, new_ema, loss, psnr) = self._train_step(
-                        state.params, state.opt_state, state.ema_params,
-                        lr_b, hr_b, m_b, jnp.asarray(w)
-                    )
-                    state.ema_params = new_ema
+            idx_iter = iter(list(self._batches(len(x), kperm)))
+            groups = []
+            chunk = []
+            for idx in idx_iter:
+                chunk.append(idx)
+                if len(chunk) == accum:
+                    groups.append(chunk)
+                    chunk = []
+            if chunk:
+                groups.append(chunk)  # partial tail group — exact via wsum
+            for group in groups:
+                if accum == 1:
+                    lr_b, hr_b, m_b, w_b, kaug = device_batch(group[0], kaug)
+                    if self._ema:
+                        (new_params, new_opt, new_ema, loss, psnr) = \
+                            self._train_step(
+                                state.params, state.opt_state,
+                                state.ema_params, lr_b, hr_b, m_b, w_b)
+                        state.ema_params = new_ema
+                    else:
+                        new_params, new_opt, loss, psnr = self._train_step(
+                            state.params, state.opt_state, lr_b, hr_b, m_b,
+                            w_b)
                 else:
-                    new_params, new_opt, loss, psnr = self._train_step(
-                        state.params, state.opt_state, lr_b, hr_b, m_b,
-                        jnp.asarray(w)
-                    )
+                    acc = None
+                    for idx in group:
+                        lr_b, hr_b, m_b, w_b, kaug = device_batch(idx, kaug)
+                        delta = self._micro_step(
+                            state.params, lr_b, hr_b, m_b, w_b)
+                        acc = delta if acc is None else self._accum_step(
+                            acc, delta)
+                    if self._ema:
+                        (new_params, new_opt, new_ema, loss, psnr) = \
+                            self._apply_step(state.params, state.opt_state,
+                                             state.ema_params, *acc)
+                        state.ema_params = new_ema
+                    else:
+                        new_params, new_opt, loss, psnr = self._apply_step(
+                            state.params, state.opt_state, *acc)
                 # always adopt the returned trees (the inputs were donated);
                 # on a non-finite batch the step itself kept the old values
                 state.params, state.opt_state = new_params, new_opt

@@ -355,3 +355,54 @@ class TestEMA:
                         jax.tree.leaves(trm.state.ema_params)):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=0, atol=1e-4)
+
+
+class TestGradAccum:
+    """grad_accum=k micro-batches must be EXACTLY one big-batch optimizer
+    step (weighted-sum accumulation; VERDICT r4 Next #3 — the route to
+    effective batches past the B=128 single-shot VMEM cliff)."""
+
+    def _cfg(self, tmp_path, tag, **kw):
+        return TrainerConfig(
+            epochs=1, evaluate_every=100, hr_size=24,
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            log_dir=str(tmp_path / f"logs_{tag}"), **kw)
+
+    def test_accum_matches_big_batch(self, tiny_model, tmp_path, rng):
+        import jax
+
+        x, y, m = _tiny_data(rng, n=8)
+        big = Trainer(tiny_model, self._cfg(tmp_path, "big", batch_size=8))
+        big.init(x, seed=0)
+        sb = big.fit(x, (y, m), seed=3)
+
+        acc = Trainer(tiny_model, self._cfg(
+            tmp_path, "acc", batch_size=4, grad_accum=2))
+        acc.init(x, seed=0)
+        sa = acc.fit(x, (y, m), seed=3)
+
+        # same permutation key + same total samples -> identical effective
+        # batch; one optimizer step each
+        assert sb.step == sa.step == 1
+        for pb, pa in zip(jax.tree.leaves(sb.params),
+                          jax.tree.leaves(sa.params)):
+            np.testing.assert_allclose(
+                np.asarray(pb), np.asarray(pa), rtol=2e-5, atol=2e-7)
+
+    def test_accum_with_ragged_tail_and_ema(self, tiny_model, tmp_path, rng):
+        """A partial final group (3 micro-batches, accum=2) still applies,
+        and the EMA update happens once per effective step."""
+        import jax
+
+        x, y, m = _tiny_data(rng, n=6)
+        tr = Trainer(tiny_model, self._cfg(
+            tmp_path, "rag", batch_size=2, grad_accum=2, ema_decay=0.5))
+        tr.init(x, seed=0)
+        st = tr.fit(x, (y, m), seed=3)
+        # 3 micro-batches -> groups of (2, 1) -> 2 optimizer steps
+        assert st.step == 2
+        assert st.ema_params is not None
+        for e, p in zip(jax.tree.leaves(st.ema_params),
+                        jax.tree.leaves(st.params)):
+            assert np.isfinite(np.asarray(e)).all()
+            assert np.isfinite(np.asarray(p)).all()
