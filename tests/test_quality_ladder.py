@@ -124,3 +124,52 @@ class TestHybridFromB0Extensions:
         assert out[1][0].shape == (16, 16, 2, 2)
         # distinct TE entries by default
         assert out[1][1] is not out[1][0]
+
+
+class TestRicianBiasMechanism:
+    """The held-out-acquisition-mean GT converges to E|S+n| (the Rician
+    expectation), NOT to the clean signal — the systematic that makes the
+    split-acquisition protocol reward bias-faithful interpolation
+    (results/round5_quality/rician_bias.json pins this on real-b0 volumes;
+    this test pins it cheaply on synthetic data so the mechanism can never
+    silently regress)."""
+
+    def test_heldout_mean_converges_to_rician_expectation(self, rng):
+        from scipy import special
+
+        from scripts.round5_rician_bias import analytic_rician_mean
+
+        b0 = _smooth_b0(rng, H=40, W=40, S=3) * 100.0
+        # real volumes have near-zero background, where the Rician bias is
+        # largest (E|n| = sigma*sqrt(pi/2) at S=0) — give the toy some
+        b0[:, :10] *= 0.02
+        A = 64
+        full, clean = synthetic.hybrid_from_b0(
+            b0, acq_counts=(1, A, 2, 2), seed=7, return_clean=True,
+            dedup_te=True, shift_sigma=0.0, noise_sigma_frac=0.05)
+        sigma = 0.05 * float(np.percentile(b0, 99.5))
+        resid = full[1][0].mean(-1) - clean[1][0]
+        bias = analytic_rician_mean(clean[1][0], sigma) - clean[1][0]
+        # the residual IS the analytic bias field (not zero-mean noise)
+        c = float(np.corrcoef(resid.ravel(), bias.ravel())[0, 1])
+        assert c > 0.9, c
+        assert abs(resid.mean() - bias.mean()) < 0.05 * bias.mean()
+        # and it is positive and concentrated at low signal
+        lo = clean[1][0] < np.percentile(clean[1][0], 20)
+        hi = clean[1][0] > np.percentile(clean[1][0], 80)
+        assert resid[lo].mean() > 3 * resid[hi].mean()
+
+    def test_zero_motion_keeps_rng_stream(self, rng):
+        """shift_sigma=0.0 must change ONLY the motion: the Rician noise
+        draws stay identical (the causal arm's contract)."""
+        b0 = _smooth_b0(rng, H=16, W=16, S=2)
+        a = synthetic.hybrid_from_b0(b0, acq_counts=(1, 2, 2, 2), seed=3,
+                                     dedup_te=True, shift_sigma=0.4)
+        b = synthetic.hybrid_from_b0(b0, acq_counts=(1, 2, 2, 2), seed=3,
+                                     dedup_te=True, shift_sigma=0.0)
+        # b=0 entry has no shifts at all -> bit-identical
+        np.testing.assert_array_equal(a[0][0], b[0][0])
+        # shifted entries differ (motion on vs off) but only modestly:
+        # same noise realization, different geometry
+        d = np.abs(a[1][0] - b[1][0]).mean() / b[1][0].mean()
+        assert 0 < d < 0.2, d
