@@ -179,6 +179,69 @@ def measure_pia(n_voxels: int = 65536, steps: int = 20) -> float:
     return n_voxels * steps / sec
 
 
+def measure_pia_train(n_voxels: int = 16384, steps: int = 30) -> dict:
+    """PIA TRAINING step throughput (encoder + analytic decode +
+    PIDS-weighted loss + Adam — pipelines/pia_train.py's inner jit;
+    reference loop PIA.py:171-213). Same dispatch-amortized protocol as
+    measure_pia: ``steps`` optimizer steps scanned in ONE program.
+    Roofline context: fwd+bwd matmul FLOPs ~ 3x the encode FLOPs/voxel
+    (scripts/pia_roofline.py's analytic count), against the 197 TF/s bf16
+    MXU ceiling the encode measurement validated."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mri_super_resolution_tpu.models.pia import (
+        PIA, pia_loss_unsupervised, synthetic_batch)
+
+    model = PIA()
+    sig, *_ = synthetic_batch(jax.random.key(2), n_voxels, 0.05)
+    params = model.init(jax.random.key(0), sig[:8])
+    tx = optax.adam(1e-4)
+    opt = tx.init(params)
+    pids = jnp.ones_like(sig)
+    sig = jax.device_put(sig)
+
+    @jax.jit
+    def train_steps(params, opt):
+        def body(carry, _):
+            p, o = carry
+
+            def loss_fn(q):
+                pred, *_ = model.apply(q, sig)
+                return pia_loss_unsupervised(pred, sig, pids)
+
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            up, o = tx.update(g, o)
+            return (optax.apply_updates(p, up), o), loss
+
+        (p, o), ls = jax.lax.scan(body, (params, opt), None, length=steps)
+        return p, o, ls
+
+    p, o, ls = train_steps(params, opt)
+    jax.device_get(ls)
+    t0 = _time.perf_counter()
+    p, o, ls = train_steps(p, o)
+    jax.device_get(ls)
+    per_step = (_time.perf_counter() - t0) / steps
+
+    # analytic encode MACs*2 per voxel (pia_roofline.encoder_flops_per_voxel)
+    dims = [model.number_of_signals] + list(model.hidden_dims)
+    macs = sum(a * b for a, b in zip(dims[:-1], dims[1:]))
+    H = model.hidden_dims[-1]
+    macs += 3 * (model.predictor_depth * H * H + H * 3)
+    fwd_flops = 2.0 * macs
+    tf = 3.0 * fwd_flops * n_voxels / per_step / 1e12
+    return {
+        "value": round(n_voxels / per_step, 1),
+        "ms_per_step": round(per_step * 1e3, 3),
+        "approx_tflops_fwd_bwd": round(tf, 2),
+        "approx_pct_bf16_mxu_peak": round(100 * tf / 197.0, 1),
+    }
+
+
 def measure_grid(steps: int) -> float:
     """GridINR (multires dense-grid INR, this framework's model-zoo addition)
     full-volume fit throughput on the flagship LR ROI shape, via the
@@ -495,6 +558,17 @@ def main():
                     "value": round(measure_pia(
                         4096 if args.quick else 65536), 1),
                     "unit": "voxels/sec/chip",
+                }
+            )
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "pia_train_voxels_per_sec_per_chip",
+                    "unit": "voxels/sec/chip",
+                    **measure_pia_train(
+                        4096 if args.quick else 16384,
+                        10 if args.quick else 30),
                 }
             )
         )
