@@ -406,3 +406,26 @@ class TestGradAccum:
                         jax.tree.leaves(st.params)):
             assert np.isfinite(np.asarray(e)).all()
             assert np.isfinite(np.asarray(p)).all()
+
+    def test_mesh_grad_accum_matches_unsharded_accum(self, tiny_model,
+                                                     tmp_path, rng):
+        """grad_accum over the 8-device mesh must be the same program as
+        unsharded grad_accum (micro grads all-reduced, apply replicated)."""
+        import jax
+
+        x, y, m = _tiny_data(rng, n=8)
+        mk = lambda tag, mesh: Trainer(tiny_model, self._cfg(
+            tmp_path, tag, batch_size=4, grad_accum=2), mesh=mesh)
+        t1 = mk("acc1", None)
+        t1.init(x, seed=0)
+        s1 = t1.fit(x, (y, m), seed=3)
+        from jax.sharding import Mesh
+
+        t8 = mk("acc8", Mesh(np.array(jax.devices()), ("data",)))
+        t8.init(x, seed=0)
+        s8 = t8.fit(x, (y, m), seed=3)
+        assert s1.step == s8.step == 1
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s8.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=2.1e-4)
