@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--lr", type=float, default=3.5e-4)
     ap.add_argument("--patches_per_slice", type=int, default=8)
+    ap.add_argument("--only", type=int, nargs="*", default=None,
+                    help="run only these holdout patient ids (resume aid; "
+                    "completed fold rows can be merged from the run log)")
+    ap.add_argument("--merge_rows", default=None,
+                    help="path to a JSON-lines file of already-completed fold "
+                    "rows to merge before the summary")
     ap.add_argument("--out", default="results/round5_rams/holdout_cv.json")
     args = ap.parse_args()
 
@@ -56,13 +62,21 @@ def main():
                                   patches_per_slice=args.patches_per_slice)
     pids = np.asarray(pids)
     patients = np.unique(pids).tolist()
+    merged = []
+    if args.merge_rows:
+        with open(args.merge_rows) as fh:
+            merged = [json.loads(ln) for ln in fh if ln.strip()]
+        done_ids = {r["holdout_patient"] for r in merged}
+        patients = [u for u in patients if u not in done_ids]
+    if args.only is not None:
+        patients = [u for u in patients if u in set(args.only)]
     B = args.batch
     total_steps = args.sample_budget // B
     scale = Y.shape[1] // X.shape[1]
     print(f"{len(X)} patches, {len(patients)} patients, "
           f"{total_steps} steps/fold", flush=True)
 
-    folds = []
+    folds = list(merged)
     for u in patients:
         v = pids == u
         Xt, Yt, Mt = X[~v], Y[~v], M[~v]
@@ -100,6 +114,7 @@ def main():
         folds.append(row)
         print(json.dumps(row), flush=True)
 
+    folds.sort(key=lambda f: f["holdout_patient"])
     margins = np.array([f["margin_db"] for f in folds])
     helds = np.array([f["holdout_cpsnr_db"] for f in folds])
     out = {
