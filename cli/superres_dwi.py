@@ -65,6 +65,10 @@ def main(argv=None):
     p.add_argument("--wire_lr", type=float, default=5e-3)
     p.add_argument("--wire_omega", type=float, default=10.0)
     p.add_argument("--wire_sigma", type=float, default=10.0)
+    p.add_argument("--wire_trainable", action="store_true",
+                   help="trainable per-layer omega/sigma (reference "
+                   "INRmodel.py:70-84 nn.Parameter; +6.7 dB on the flagship "
+                   "ROI fit, results/round5_wire/sweep.json)")
     p.add_argument("--grid_lr", type=float, default=5e-3,
                    help="Adam lr for --inr_model grid")
     p.add_argument("--grid_levels", type=int, default=4)
@@ -106,6 +110,7 @@ def main(argv=None):
         wire_lr=args.wire_lr,
         wire_omega=args.wire_omega,
         wire_sigma=args.wire_sigma,
+        wire_trainable=args.wire_trainable,
     )
 
     patients = []

@@ -26,6 +26,12 @@ def _enable_compilation_cache() -> None:
     The pipelines' big scanned programs take minutes to compile through the
     tunnelled TPU backend; with the persistent cache a rerun with identical
     shapes loads instantly. Opt out with MRI_SR_NO_COMPILE_CACHE=1.
+
+    MRI_SR_CACHE_MIN_COMPILE_SECS overrides the 1.0 s persistence threshold:
+    on a tunnelled backend even sub-second compiles pay a network round-trip
+    per program, so cohort drivers that re-run the same shapes across many
+    processes may want 0 (persist everything; costs cache-dir inodes). See
+    results/round5_coldstart/ for the measured cold/warm split.
     """
     if _os.environ.get("MRI_SR_NO_COMPILE_CACHE"):
         return
@@ -38,7 +44,10 @@ def _enable_compilation_cache() -> None:
         )
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(_os.environ.get("MRI_SR_CACHE_MIN_COMPILE_SECS", "1.0")),
+        )
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

@@ -67,6 +67,12 @@ class SupperresDWIConfig:
     wire_lr: float = 5e-3
     wire_omega: float = 10.0
     wire_sigma: float = 10.0
+    # trainable per-layer omega/sigma (the reference's nn.Parameter behavior,
+    # INRmodel.py:70-84). Round-5 sweep (results/round5_wire/sweep.json):
+    # +6.7 dB final on the flagship ROI fit over fixed scalars, and better
+    # PSNR at every wall-clock cutoff despite running on XLA autodiff (the
+    # fused kernel requires fixed scalars).
+    wire_trainable: bool = False
     grid_levels: int = 4
     grid_base_resolution: int = 6
     grid_features: int = 4

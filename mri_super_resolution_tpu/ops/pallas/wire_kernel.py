@@ -352,6 +352,48 @@ def wire_loss_grads(
 
 
 # ---------------------------------------------------------------------------
+# VMEM residency gate
+# ---------------------------------------------------------------------------
+
+# Mosaic's scoped-VMEM stack limit: the fused kernels keep ALL weight blocks
+# (and, for the backward, all dW output blocks plus the bf16 activation
+# stash) resident per grid step. Measured failure: hidden=512, n_hidden=2
+# backward = 22.48M scoped > the 16M limit (round-5 WIRE sweep, w512_l2 arm).
+VMEM_SCOPED_BYTES = 16 * 2**20
+_IN_FEATURES_MAX = 8  # first-layer input dim upper bound (coords or coords+ff)
+
+
+def _wire_weight_bytes(h: int, n_hidden: int) -> int:
+    """f32 bytes of the flat weight list (first + hidden + final layers)."""
+    first = 2 * (_IN_FEATURES_MAX * h + h)
+    hidden = n_hidden * 4 * (h * h + h)
+    final = 2 * h + 1
+    return 4 * (first + hidden + final)
+
+
+def wire_kernel_fits(model, tile: int = TILE_BWD,
+                     backward: bool = True) -> bool:
+    """Whether the fused WIRE kernel's per-step VMEM residency fits Mosaic's
+    scoped limit for this model config.
+
+    Backward residency = weight operands + dW outputs (f32, 2x weights) +
+    the bf16 stash of (7*n_hidden + 5) tile-by-hidden activation panels +
+    x/target/out tiles. Forward drops the dW copy and the stash. Estimates
+    are conservative (the measured 512x2 backward is 22.48M vs 24.3M
+    estimated); configs that fail the gate fall back to XLA autodiff, which
+    streams weights from HBM instead of pinning them."""
+    h, nh = model.hidden_features, model.hidden_layers
+    w = _wire_weight_bytes(h, nh)
+    io_tiles = 4 * tile * (_IN_FEATURES_MAX + 2 * model.out_features)
+    if backward:
+        stash = 2 * tile * h * (7 * nh + 5)
+        need = 2 * w + stash + io_tiles
+    else:
+        need = w + 4 * TILE * h + io_tiles  # forward: one live h-panel pair
+    return need <= VMEM_SCOPED_BYTES - 2**20  # 1M headroom for temporaries
+
+
+# ---------------------------------------------------------------------------
 # flax adapters (models.Wire)
 # ---------------------------------------------------------------------------
 
@@ -427,6 +469,13 @@ def make_wire_value_and_grad(model, compute_dtype=None, tile: int = TILE_BWD,
         raise NotImplementedError(
             "kernel path supports the reference-default trainable=False; "
             "use model.apply with XLA autodiff for trainable omega/sigma"
+        )
+    if not wire_kernel_fits(model, tile=tile):
+        raise NotImplementedError(
+            f"fused WIRE backward at hidden={model.hidden_features}x"
+            f"{model.hidden_layers} exceeds the {VMEM_SCOPED_BYTES >> 20}M "
+            "scoped-VMEM limit (weights+grads+stash are pinned per tile); "
+            "use model.apply with XLA autodiff (check wire_kernel_fits first)"
         )
     n_hidden = model.hidden_layers
 

@@ -81,6 +81,7 @@ def _wire_model(cfg: SupperresDWIConfig):
         hidden_layers=cfg.wire_layers,
         omega_0=cfg.wire_omega,
         sigma_0=cfg.wire_sigma,
+        trainable=cfg.wire_trainable,
     )
 
 
@@ -263,10 +264,19 @@ def run_patient(
             from mri_super_resolution_tpu.ops.pallas.wire_kernel import (
                 make_wire_fused_apply,
                 make_wire_value_and_grad,
+                wire_kernel_fits,
             )
 
-            infer_apply = make_wire_fused_apply(inr)
-            inr_vag = make_wire_value_and_grad(inr)
+            # wide configs overflow Mosaic's scoped-VMEM stack (the fused
+            # kernels pin weights(+grads+stash) per tile) — those stay on
+            # XLA autodiff, which streams weights from HBM. trainable
+            # omega/sigma also needs autodiff (their grads flow only there);
+            # the fused INFERENCE forward stays valid either way — it reads
+            # the scalars out of the params tree.
+            if wire_kernel_fits(inr, backward=False):
+                infer_apply = make_wire_fused_apply(inr)
+            if not inr.trainable and wire_kernel_fits(inr):
+                inr_vag = make_wire_value_and_grad(inr)
     else:
         inr = Siren(hidden_features=cfg.hidden_dim, hidden_layers=cfg.num_layers)
         inr_params = inr.init(kI, ff[:8])

@@ -43,6 +43,17 @@ def main():
     ap.add_argument("--wire", action="store_true",
                     help="add a WIRE arm (superres_dwi --inr_model wire) to "
                          "the same paired protocol")
+    ap.add_argument("--wire_trainable", action="store_true",
+                    help="the WIRE arm trains per-layer omega/sigma (the "
+                    "round-5 sweep's best config: +6.7 dB on the flagship "
+                    "ROI fit, results/round5_wire/sweep.json)")
+    ap.add_argument("--arms", default=None,
+                    help="comma subset of {reference,quality,wire} to run "
+                    "(default: reference,quality[,wire]). Running without "
+                    "'reference' skips the paired-vs-reference stats and "
+                    "reports each arm vs its paired spline only — the "
+                    "protocol is seed-deterministic, so rows stay "
+                    "comparable with a prior full run")
     ap.add_argument("--out", default="results/round4_presets/cohort_ab.json")
     args = ap.parse_args()
 
@@ -92,8 +103,15 @@ def main():
 
     arms = {"reference": cfg_ref, "quality": cfg_quality}
     if args.wire:
-        arms["wire"] = dataclasses.replace(SupperresDWIConfig(),
-                                           inr_model="wire")
+        arms["wire"] = dataclasses.replace(
+            SupperresDWIConfig(), inr_model="wire",
+            wire_trainable=args.wire_trainable)
+    if args.arms:
+        want = [a.strip() for a in args.arms.split(",") if a.strip()]
+        unknown = set(want) - set(arms)
+        if unknown:
+            ap.error(f"unknown arms {sorted(unknown)} (have {sorted(arms)})")
+        arms = {a: arms[a] for a in want}
     per_arm = {a: {"rows": [], "timings": []} for a in arms}
     for row in rows:
         pt_no = row["pt_id"].split("-")[-1]
@@ -144,10 +162,10 @@ def main():
     # paired stats: each non-reference arm vs reference on SR SSIM
     from scipy import stats
 
-    ref_rows = per_arm["reference"]["rows"]
+    ref_rows = per_arm.get("reference", {}).get("rows")
     paired = {}
     for arm in arms:
-        if arm == "reference":
+        if arm == "reference" or ref_rows is None:
             continue
         arm_rows = per_arm[arm]["rows"]
         assert len(ref_rows) == len(arm_rows)

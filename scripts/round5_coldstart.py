@@ -57,6 +57,18 @@ def main():
     from mri_super_resolution_tpu.data import load_mat, synthetic
     from mri_super_resolution_tpu.pipelines import superres3d
 
+    # attribute where process-local time goes: jax emits per-event durations
+    # (backend_compile, cache retrieval/write, tracing) through
+    # jax.monitoring — sum them by key for the whole run
+    durations: dict = {}
+
+    def _on_duration(key, dur, **kw):
+        agg = durations.setdefault(key, [0, 0.0])
+        agg[0] += 1
+        agg[1] += dur
+
+    jax.monitoring.register_event_duration_secs_listener(_on_duration)
+
     jax.devices()  # backend init on the clock
     backend_s = time.perf_counter() - t_import
 
@@ -86,7 +98,12 @@ def main():
         "cache_dir": cache_dir,
         "cache_before": before,
         "cache_after": after,
-        "cache_min_compile_time_secs": 1.0,
+        "cache_min_compile_time_secs": float(
+            os.environ.get("MRI_SR_CACHE_MIN_COMPILE_SECS", "1.0")),
+        "event_durations_secs": {
+            k: {"count": v[0], "total_s": round(v[1], 2)}
+            for k, v in sorted(durations.items(),
+                               key=lambda kv: -kv[1][1])[:12]},
     }
     os.makedirs(args.out_dir, exist_ok=True)
     path = os.path.join(args.out_dir, f"run{args.tag}.json")

@@ -118,17 +118,28 @@ def main():
             x2, kkb, (1, 1), "SAME", dimension_numbers=dn2)
         return out.reshape(b, s1, s2, t, c)
 
-    # parity (f32, small slice): all three formulations are the same op
+    # Per-arm parity (f32, small slice) against the production conv3d
+    # formulation (whose own parity tests live in test_rams.py). The first
+    # run of this script found jitted concat2d off by 0.83 rel at
+    # (4,32,32,9,32) on the TPU, while the identical program gives 0.0 error
+    # on the true-CPU XLA backend (jax.config jax_platforms=cpu) and 1e-7 at
+    # smaller shapes — i.e. a TPU-lowering defect for that conv pattern, not
+    # a formulation bug. An arm that fails parity here is EXCLUDED from the
+    # bench with the error recorded, instead of crashing the experiment.
     xf = jnp.asarray(x_np[:4], jnp.float32)
     kf = jnp.asarray(k_np, jnp.float32)
     ref = np.asarray(jax.jit(conv3d)(xf, kf))
-    got_c = np.asarray(jax.jit(concat2d)(xf, kf))
-    got_b = np.asarray(jax.jit(banded288)(xf, make_banded_kernel(kf)))
     scale = np.abs(ref).max()
-    err_c = float(np.abs(got_c - ref).max() / scale)
-    err_b = float(np.abs(got_b - ref).max() / scale)
-    print(f"parity: concat2d {err_c:.2e}, banded288 {err_b:.2e}", flush=True)
-    assert err_c < 1e-5 and err_b < 1e-5
+    parity = {}
+
+    def check_parity(name, fn, *pa):
+        got = np.asarray(jax.jit(fn)(*pa))
+        err = float(np.abs(got - ref).max() / scale)
+        parity[name] = err
+        ok = err < 1e-5
+        print(f"parity {name}: {err:.2e}{'' if ok else '  EXCLUDED'}",
+              flush=True)
+        return ok
 
     results = {}
 
@@ -144,9 +155,11 @@ def main():
               flush=True)
 
     bench("conv3d_c32", conv3d, x, k3)
-    bench("concat2d_c32", concat2d, x, k3)
-    bench("banded288", banded288, x, kb,
-          note="dense band: 3x the raw FLOPs of the useful number shown")
+    if check_parity("concat2d", concat2d, xf, kf):
+        bench("concat2d_c32", concat2d, x, k3)
+    if check_parity("banded288", banded288, xf, make_banded_kernel(kf)):
+        bench("banded288", banded288, x, kb,
+              note="dense band: 3x the raw FLOPs of the useful number shown")
 
     # lane-efficiency controls: same spatial extent, C = 64 / 128
     for Cc in (64, 128):
@@ -168,7 +181,9 @@ def main():
         "device": str(jax.devices()[0]),
         "workload": f"3x3x3 SAME conv, (B={B}, {S}, {S}, T={T}, C={C}) bf16",
         "useful_flops_per_call": useful_flops,
-        "parity_max_rel_err": {"concat2d": err_c, "banded288": err_b},
+        "parity_max_rel_err": parity,
+        "parity_note": ("arms with rel err >= 1e-5 are excluded from "
+                        "results (miscompiled formulation, see docstring)"),
         "results": results,
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

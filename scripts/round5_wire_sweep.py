@@ -57,6 +57,7 @@ def main():
     from mri_super_resolution_tpu.ops.pallas.wire_kernel import (
         make_wire_fused_apply,
         make_wire_value_and_grad,
+        wire_kernel_fits,
     )
     from mri_super_resolution_tpu.pipelines.superres3d import normalize_hybrid
 
@@ -75,11 +76,14 @@ def main():
 
     def run_arm(name, model, lr_opt, fused):
         params = model.init(key, coords[:8])
-        if fused and on_tpu:
+        # w512 backward overflows scoped VMEM (wire_kernel.wire_kernel_fits
+        # docstring) — those arms measure the XLA-autodiff path
+        if fused and on_tpu and wire_kernel_fits(model):
             apply_fn = make_wire_fused_apply(model)
             vag = make_wire_value_and_grad(model)
         else:
             apply_fn, vag = model.apply, None
+            fused = False
         tx = optax.adam(lr_opt)
         # compile both chunk variants off the clock
         warm = fit_simple(apply_fn, tx, jax.tree.map(jnp.copy, params),
@@ -138,7 +142,14 @@ def main():
         ("lr1e-3_256x2", Wire(hidden_features=256, hidden_layers=2), 1e-3,
          True),
     ]
-    rows = [run_arm(*a) for a in arms]
+    rows = []
+    for a in arms:
+        try:
+            rows.append(run_arm(*a))
+        except Exception as e:  # record the failure, keep the sweep alive
+            msg = str(e).splitlines()[0][:300]
+            print(f"arm {a[0]} FAILED: {msg}", flush=True)
+            rows.append({"arm": a[0], "error": msg})
     out = {
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),

@@ -10,6 +10,7 @@ from mri_super_resolution_tpu.ops.pallas.wire_kernel import (
     make_wire_fused_apply,
     make_wire_value_and_grad,
     wire_forward,
+    wire_kernel_fits,
     wire_weights_from_flax,
 )
 
@@ -82,6 +83,22 @@ class TestWireLossGrads:
     def test_trainable_rejected(self):
         with pytest.raises(NotImplementedError):
             make_wire_value_and_grad(Wire(trainable=True))
+
+    def test_vmem_gate(self):
+        """Configs whose pinned weights+grads+stash exceed Mosaic's scoped
+        VMEM are rejected up front (measured: 512x2 backward = 22.48M vs the
+        16M limit, round-5 sweep) instead of failing at Mosaic compile."""
+        assert wire_kernel_fits(Wire(hidden_features=256, hidden_layers=2))
+        assert wire_kernel_fits(Wire(hidden_features=256, hidden_layers=3))
+        assert not wire_kernel_fits(Wire(hidden_features=512, hidden_layers=2))
+        assert not wire_kernel_fits(Wire(hidden_features=512, hidden_layers=3))
+        # the forward pins one weight copy and no stash: 512 fits, 1024 not
+        assert wire_kernel_fits(
+            Wire(hidden_features=512, hidden_layers=3), backward=False)
+        assert not wire_kernel_fits(
+            Wire(hidden_features=1024, hidden_layers=2), backward=False)
+        with pytest.raises(NotImplementedError):
+            make_wire_value_and_grad(Wire(hidden_features=512))
 
     def test_training_converges(self, setup):
         """Short Adam fit through the kernel path reaches the same loss
