@@ -27,11 +27,16 @@ def _enable_compilation_cache() -> None:
     tunnelled TPU backend; with the persistent cache a rerun with identical
     shapes loads instantly. Opt out with MRI_SR_NO_COMPILE_CACHE=1.
 
-    MRI_SR_CACHE_MIN_COMPILE_SECS overrides the 1.0 s persistence threshold:
-    on a tunnelled backend even sub-second compiles pay a network round-trip
-    per program, so cohort drivers that re-run the same shapes across many
-    processes may want 0 (persist everything; costs cache-dir inodes). See
-    results/round5_coldstart/ for the measured cold/warm split.
+    The persistence threshold defaults to 0 (persist EVERY compile):
+    round-5 measured the cohort pipelines' per-process cold-start tail as
+    ~110 sub-second tiny-op compiles that jax's default 1.0 s threshold
+    refused to cache — each re-paying a backend round-trip every process.
+    With min=0 and a warm cache, a fresh quality-preset patient process
+    drops from 238 s to 16.9 s end-to-end (prep 174 s -> 3.5 s; all 126
+    program loads served from cache in 4.4 s), for ~1.5 MB / 110 inodes of
+    extra cache (results/round5_coldstart/run{2,3,4}.json). Override with
+    MRI_SR_CACHE_MIN_COMPILE_SECS if cache-dir inodes matter more than
+    cold-start latency.
     """
     if _os.environ.get("MRI_SR_NO_COMPILE_CACHE"):
         return
@@ -46,7 +51,7 @@ def _enable_compilation_cache() -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs",
-            float(_os.environ.get("MRI_SR_CACHE_MIN_COMPILE_SECS", "1.0")),
+            float(_os.environ.get("MRI_SR_CACHE_MIN_COMPILE_SECS", "0.0")),
         )
     except Exception:  # pragma: no cover - cache is best-effort
         pass

@@ -47,7 +47,10 @@ def main():
     ap.add_argument("--side", type=int, default=32)
     ap.add_argument("--T", type=int, default=9)
     ap.add_argument("--C", type=int, default=32)
-    ap.add_argument("--repeats", type=int, default=30)
+    ap.add_argument("--repeats", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=20,
+                    help="chained conv applications per jitted call "
+                    "(dispatch-latency amortization)")
     ap.add_argument("--out", default="results/round5_rams/lanepack.json")
     args = ap.parse_args()
 
@@ -143,12 +146,28 @@ def main():
 
     results = {}
 
-    def bench(name, fn, *fargs, flops=useful_flops, note=""):
-        jfn = jax.jit(fn)
-        sec = time_jitted(lambda: jfn(*fargs), repeats=args.repeats, warmup=3)
+    def bench(name, fn, x0, karg, flops=useful_flops, note=""):
+        # amortize the per-dispatch tunnel latency (the round-4 PIA lesson,
+        # results/round4_pia/roofline.json: single-op timing through the
+        # axon backend measures the HTTP round-trip, not the chip — the
+        # first run of this script recorded 2039 ms for a ~3 ms conv).
+        # ITERS chained applications inside ONE jitted scan; all three
+        # formulations are C-preserving so out feeds in.
+        ITERS = args.iters
+
+        @jax.jit
+        def many(x0_, k_):
+            def body(c, _):
+                return fn(c, k_), None
+            out, _ = jax.lax.scan(body, x0_, None, length=ITERS)
+            return out
+
+        sec = time_jitted(lambda: many(x0, karg), repeats=args.repeats,
+                          warmup=2) / ITERS
         tf = flops / sec / 1e12
         results[name] = {"ms": round(sec * 1e3, 3),
-                         "useful_tf_per_s": round(tf, 2)}
+                         "useful_tf_per_s": round(tf, 2),
+                         "iters_amortized": ITERS}
         if note:
             results[name]["note"] = note
         print(f"{name}: {sec * 1e3:.3f} ms = {tf:.2f} useful TF/s {note}",

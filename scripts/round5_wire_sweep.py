@@ -43,6 +43,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--max_steps", type=int, default=4000)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="run only these arm names (follow-up runs write to "
+                    "a separate --out and are merged by the reader)")
     ap.add_argument("--out", default="results/round5_wire/sweep.json")
     args = ap.parse_args()
 
@@ -141,7 +144,19 @@ def main():
         ("w512_l3", Wire(hidden_features=512, hidden_layers=3), 5e-3, True),
         ("lr1e-3_256x2", Wire(hidden_features=256, hidden_layers=2), 1e-3,
          True),
+        # follow-up arms (run with --only): winning knobs combined
+        ("trainable_512x2",
+         Wire(hidden_features=512, hidden_layers=2, trainable=True), 5e-3,
+         False),
+        ("lr1e-3_512x2", Wire(hidden_features=512, hidden_layers=2), 1e-3,
+         False),
+        ("lr1e-3_trainable_512x2",
+         Wire(hidden_features=512, hidden_layers=2, trainable=True), 1e-3,
+         False),
     ]
+    if args.only is not None:
+        want = set(args.only)
+        arms = [a for a in arms if a[0] in want]
     rows = []
     for a in arms:
         try:
