@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Keep the suite hermetic: don't read or write the persistent XLA cache.
+# The package-level default persists EVERY compile (round-5 cold-start fix),
+# which under pytest would (a) flood the cache dir with thousands of
+# throwaway CPU executables and (b) later LOAD CPU AOT entries compiled
+# with different host-feature flags (observed cpu_aot_loader machine-type
+# mismatch warnings - a SIGILL hazard).
+os.environ.setdefault("MRI_SR_NO_COMPILE_CACHE", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
