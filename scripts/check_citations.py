@@ -21,6 +21,7 @@ Exit 0 = all resolve; exit 1 = failures listed on stdout. Run:
 """
 from __future__ import annotations
 
+import glob
 import os
 import re
 import sys
@@ -47,7 +48,7 @@ REF_CITE = re.compile(r"([A-Za-z0-9_./-]+\.(?:py|m|sh|ipynb)):(\d+)(?:-(\d+))?")
 # the backtick-only check missed it (VERDICT r4 Weak #2). Any
 # results/ logs/ artifacts/ path in a doc must exist, backticked or not.
 BARE_EVIDENCE = re.compile(
-    r"\b((?:results|logs|artifacts)/[A-Za-z0-9_./-]+\."
+    r"\b((?:results|logs|artifacts)/[A-Za-z0-9_./*-]+\."
     r"(?:json|jsonl|csv|md|log|png|txt|npz))\b"
 )
 
@@ -103,7 +104,16 @@ def check_bare_evidence_paths() -> list[str]:
         text = open(os.path.join(REPO, doc)).read()
         for m in BARE_EVIDENCE.finditer(text):
             token = m.group(1)
-            if "*" in token or "<" in token:
+            if "<" in token:
+                continue
+            if "*" in token:
+                # a glob citation (e.g. `sweep_extra*.json`) must match at
+                # least one real file — round 5 found a phantom citation
+                # hiding behind exactly this wildcard escape hatch
+                if not glob.glob(os.path.join(REPO, token)):
+                    failures.append(
+                        f"{doc}: evidence glob {token} matches no files"
+                    )
                 continue
             if not os.path.isfile(os.path.join(REPO, token)):
                 failures.append(

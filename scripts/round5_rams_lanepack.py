@@ -147,27 +147,36 @@ def main():
     results = {}
 
     def bench(name, fn, x0, karg, flops=useful_flops, note=""):
-        # amortize the per-dispatch tunnel latency (the round-4 PIA lesson,
-        # results/round4_pia/roofline.json: single-op timing through the
-        # axon backend measures the HTTP round-trip, not the chip — the
-        # first run of this script recorded 2039 ms for a ~3 ms conv).
-        # ITERS chained applications inside ONE jitted scan; all three
-        # formulations are C-preserving so out feeds in.
-        ITERS = args.iters
+        # Two defenses against the tunnelled backend's overhead (the round-4
+        # PIA lesson, results/round4_pia/roofline.json): (1) the scan
+        # returns a SCALAR — returning the (B,S,S,T,C) activation makes
+        # jax.device_get drag ~56 MB through the ~12 MB/s tunnel, which is
+        # what this script's first committed-less run actually measured;
+        # (2) per-iter time is the SLOPE between two iteration counts
+        # (N2-N1 extra convs), which cancels the constant per-call HTTP
+        # round-trip exactly instead of hoping N amortizes it.
+        N1, N2 = args.iters, 5 * args.iters
 
-        @jax.jit
-        def many(x0_, k_):
-            def body(c, _):
-                return fn(c, k_), None
-            out, _ = jax.lax.scan(body, x0_, None, length=ITERS)
-            return out
+        def many(n):
+            @jax.jit
+            def run(x0_, k_):
+                def body(c, _):
+                    return fn(c, k_), None
+                out, _ = jax.lax.scan(body, x0_, None, length=n)
+                return jnp.float32(out).sum() * 1e-9
+            return run
 
-        sec = time_jitted(lambda: many(x0, karg), repeats=args.repeats,
-                          warmup=2) / ITERS
+        m1, m2 = many(N1), many(N2)
+        t1 = time_jitted(lambda: m1(x0, karg), repeats=args.repeats,
+                         warmup=2)
+        t2 = time_jitted(lambda: m2(x0, karg), repeats=args.repeats,
+                         warmup=2)
+        sec = (t2 - t1) / (N2 - N1)
         tf = flops / sec / 1e12
         results[name] = {"ms": round(sec * 1e3, 3),
                          "useful_tf_per_s": round(tf, 2),
-                         "iters_amortized": ITERS}
+                         "slope_iters": [N1, N2],
+                         "call_ms": [round(t1 * 1e3, 1), round(t2 * 1e3, 1)]}
         if note:
             results[name]["note"] = note
         print(f"{name}: {sec * 1e3:.3f} ms = {tf:.2f} useful TF/s {note}",

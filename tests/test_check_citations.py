@@ -45,6 +45,24 @@ def test_existing_evidence_path_passes(fake_repo):
     assert cc.check_bare_evidence_paths() == []
 
 
+def test_phantom_glob_citation_is_flagged(fake_repo):
+    # the round-5 failure shape: a wildcard citation that matches nothing
+    (fake_repo / "docs" / "R.md").write_text(
+        "see results/round5_wire/sweep_extra*.json for the rest\n")
+    failures = cc.check_bare_evidence_paths()
+    assert len(failures) == 1
+    assert "sweep_extra*" in failures[0]
+
+
+def test_glob_citation_with_matches_passes(fake_repo):
+    d = fake_repo / "results" / "round5_wire"
+    d.mkdir(parents=True)
+    (d / "sweep_extra1.json").write_text("{}")
+    (fake_repo / "docs" / "R.md").write_text(
+        "see results/round5_wire/sweep_extra*.json for the rest\n")
+    assert cc.check_bare_evidence_paths() == []
+
+
 def test_judge_authored_docs_are_exempt(fake_repo):
     (fake_repo / "VERDICT.md").write_text(
         "cites results/never/made.json on purpose\n")
