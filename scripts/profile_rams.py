@@ -48,6 +48,7 @@ def conv_flops_per_step(B=8, H=32, W=32, T=9, F=32, N=12, scale=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--trace", default="/tmp/rams_trace")
     ap.add_argument("--no-trace", action="store_true")
     ap.add_argument("--dtype", default="float32")
@@ -61,7 +62,7 @@ def main():
     from mri_super_resolution_tpu.fit.trainer import Trainer
     from mri_super_resolution_tpu.pipelines.misr import build_rams
 
-    cfg = TrainerConfig(batch_size=8, hr_size=96,
+    cfg = TrainerConfig(batch_size=args.batch, hr_size=96,
                         checkpoint_dir="/tmp/prof_rams_ckpt",
                         log_dir="/tmp/prof_rams_logs")
     tr = Trainer(build_rams(RAMSConfig(compute_dtype=args.dtype,
@@ -69,7 +70,7 @@ def main():
                                        conv_kernel=args.conv_kernel)), cfg,
                  name="prof")
     rng = np.random.default_rng(0)
-    B = 8
+    B = args.batch
     x = jnp.asarray(rng.uniform(7000, 8000, (B, 32, 32, 9)).astype(np.float32))
     y = jnp.asarray(rng.uniform(7000, 8000, (B, 96, 96, 1)).astype(np.float32))
     m = jnp.ones_like(y)
@@ -91,7 +92,7 @@ def main():
         p, o, loss, _ = tr._train_step(p, o, x, y, m, w)
     jax.device_get(loss)
     wall = (time.perf_counter() - t0) / args.steps
-    fwd = conv_flops_per_step()
+    fwd = conv_flops_per_step(B=B)
     total = 3 * fwd  # fwd + ~2x bwd
     print(f"wall: {wall*1e3:.2f} ms/step  ({B/wall:.0f} patches/s)")
     print(f"analytic conv FLOPs: fwd {fwd/1e9:.1f} G, train-step ~{total/1e9:.1f} G")
