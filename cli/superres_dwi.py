@@ -62,7 +62,9 @@ def main(argv=None):
                         "Gabor kernel")
     p.add_argument("--wire_hidden", type=int, default=256)
     p.add_argument("--wire_layers", type=int, default=2)
-    p.add_argument("--wire_lr", type=float, default=5e-3)
+    p.add_argument("--wire_lr", type=float, default=1e-3,
+                   help="Gabor-INR lr (round-5 sweep: 1e-3 beats the old "
+                   "5e-3 default at both widths)")
     p.add_argument("--wire_omega", type=float, default=10.0)
     p.add_argument("--wire_sigma", type=float, default=10.0)
     p.add_argument("--wire_trainable", action="store_true",

@@ -20,6 +20,26 @@ __version__ = "0.1.0"
 import os as _os
 
 
+def _host_fingerprint() -> str:
+    """Short stable hash of this host's CPU identity (model + feature flags
+    from /proc/cpuinfo; hostname-free so identical machines share a cache)."""
+    import hashlib
+
+    ident = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    ident = ident + line
+                    if "\nflags" in ident or ident.startswith("flags"):
+                        break
+    except OSError:
+        import platform
+
+        ident = platform.machine() + platform.processor()
+    return hashlib.sha256(ident.encode()).hexdigest()[:12]
+
+
 def _enable_compilation_cache() -> None:
     """Persist compiled XLA/Mosaic executables across processes.
 
@@ -43,10 +63,17 @@ def _enable_compilation_cache() -> None:
     try:
         import jax
 
-        cache_dir = _os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            _os.path.expanduser("~/.cache/mri_sr_tpu_xla"),
-        )
+        cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        if cache_dir is None:
+            # Scope the default dir by a host-CPU fingerprint: XLA:CPU AOT
+            # cache keys do NOT include host machine features, so a cache
+            # written on one machine type loads on another and risks SIGILL
+            # (observed: cpu_aot_loader "+prefer-no-gather is not supported
+            # on the host machine" warnings when a persisted home dir moved
+            # hosts). Same host -> same dir, so the cold-start win
+            # (results/round5_coldstart/) is unaffected.
+            cache_dir = _os.path.expanduser(
+                _os.path.join("~/.cache/mri_sr_tpu_xla", _host_fingerprint()))
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update(

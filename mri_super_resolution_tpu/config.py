@@ -64,7 +64,11 @@ class SupperresDWIConfig:
     inr_model: str = "siren"
     wire_hidden: int = 256
     wire_layers: int = 2
-    wire_lr: float = 5e-3
+    # 1e-3 (was 5e-3 through round 4): strictly better in the round-5 sweep
+    # at BOTH widths — 256x2 final 51.7 vs 49.5 dB (and faster to 40 dB),
+    # 512x2 final 90.3 vs 63.5 dB (results/round5_wire/sweep.json,
+    # sweep_combined.json). 5e-3 was over-aggressive for the Gabor params.
+    wire_lr: float = 1e-3
     wire_omega: float = 10.0
     wire_sigma: float = 10.0
     # trainable per-layer omega/sigma (the reference's nn.Parameter behavior,

@@ -47,6 +47,12 @@ def main():
                     help="the WIRE arm trains per-layer omega/sigma (the "
                     "round-5 sweep's best config: +6.7 dB on the flagship "
                     "ROI fit, results/round5_wire/sweep.json)")
+    ap.add_argument("--wire_hidden", type=int, default=None,
+                    help="WIRE arm hidden width (sweep: 512x2 was +14 dB "
+                    "over 256x2 on the flagship ROI fit)")
+    ap.add_argument("--wire_lr", type=float, default=None,
+                    help="WIRE arm lr (sweep: 1e-3 beats the 5e-3 default "
+                    "at equal wall-clock)")
     ap.add_argument("--arms", default=None,
                     help="comma subset of {reference,quality,wire} to run "
                     "(default: reference,quality[,wire]). Running without "
@@ -103,9 +109,13 @@ def main():
 
     arms = {"reference": cfg_ref, "quality": cfg_quality}
     if args.wire:
-        arms["wire"] = dataclasses.replace(
-            SupperresDWIConfig(), inr_model="wire",
-            wire_trainable=args.wire_trainable)
+        wire_over = {"inr_model": "wire",
+                     "wire_trainable": args.wire_trainable}
+        if args.wire_hidden is not None:
+            wire_over["wire_hidden"] = args.wire_hidden
+        if args.wire_lr is not None:
+            wire_over["wire_lr"] = args.wire_lr
+        arms["wire"] = dataclasses.replace(SupperresDWIConfig(), **wire_over)
     if args.arms:
         want = [a.strip() for a in args.arms.split(",") if a.strip()]
         unknown = set(want) - set(arms)
